@@ -1,0 +1,34 @@
+"""giddy-tpu: TPU-native lossless lightweight columnar decompression.
+
+A from-scratch JAX/Pallas framework with the capabilities of
+github.com/eyalroz/libgiddy (CUDA; see SURVEY.md — the reference mount was
+empty, SURVEY.md §0, so upstream citations are reconstructed paths and the
+CPU codecs in :mod:`giddy_tpu.ref` are the bit-exactness oracle).
+
+Layers (SURVEY.md §2): util (L0) → JAX runtime (L1) → kernels.lanes (L2) →
+kernels.* (L3) → registry + api (L4) → dist (L6, multi-host; new scope).
+"""
+
+from .api import decode, decode_ref, encode, get_decoder
+from .format import EncodedColumn, container_bytes, read_container, write_container
+from .registry import get, plan, schemes
+from .util import GROUP, LANES, SLOTS
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EncodedColumn",
+    "GROUP",
+    "LANES",
+    "SLOTS",
+    "container_bytes",
+    "decode",
+    "decode_ref",
+    "encode",
+    "get",
+    "get_decoder",
+    "plan",
+    "read_container",
+    "schemes",
+    "write_container",
+]

@@ -1,0 +1,69 @@
+"""Public decode API: the analog of libgiddy call stack CS-2 (SURVEY.md §4).
+
+``decode(col)``:  factory lookup → (cached) jit specialization → device
+streams → Pallas/XLA decode → logical-dtype array. Decoders are cached by
+the column's static key, mirroring the reference's
+name→instantiated-kernel factory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kernels as _kernels  # noqa: F401  (installs device decoders)
+from . import ref as _ref  # noqa: F401  (installs CPU codecs)
+from . import registry
+from .format import EncodedColumn
+from .util import GROUP, np_dtype, num_groups
+
+_DECODER_CACHE: dict[tuple, object] = {}
+
+
+def encode(values: np.ndarray, scheme: str, **opts) -> EncodedColumn:
+    """Host-side encode (NumPy oracle codec; encode is out of the hot path
+    by design — SURVEY.md §1 'decode-only')."""
+    return registry.get(scheme).encode(values, **opts)
+
+
+def decode_ref(col: EncodedColumn) -> np.ndarray:
+    """CPU oracle decode — the bit-exactness reference."""
+    return registry.get(col.scheme).decode_ref(col)
+
+
+def get_decoder(col: EncodedColumn):
+    """Build (or fetch cached) the jitted device decoder for this column's
+    static configuration. Returns fn(streams_device) -> uint32[n_pad]."""
+    key = col.static_key()
+    fn = _DECODER_CACHE.get(key)
+    if fn is None:
+        builder = registry.get(col.scheme).decode_device
+        if builder is None:
+            raise NotImplementedError(f"no device decoder for {col.scheme!r}")
+        fn = jax.jit(builder(col))
+        _DECODER_CACHE[key] = fn
+    return fn
+
+
+def device_streams(col: EncodedColumn) -> dict[str, jax.Array]:
+    from .kernels.common import to_device_streams
+
+    return to_device_streams(col.streams)
+
+
+def decode(col: EncodedColumn, *, pad: bool = False) -> jax.Array:
+    """Decode a column on the default device. Returns the logical-dtype
+    array of length n (or n_pad when pad=True, avoiding the final slice)."""
+    u = get_decoder(col)(device_streams(col))
+    out = _to_logical(u, col.dtype)
+    return out if pad else out[: col.n]
+
+
+def _to_logical(u: jax.Array, dtype: str) -> jax.Array:
+    dt = np_dtype(dtype)
+    if dt.itemsize == 4:
+        return jax.lax.bitcast_convert_type(u, dt) if dt != np.uint32 else u
+    return jax.lax.convert_element_type(u, dt)  # narrow: wraps = truncation

@@ -1,0 +1,166 @@
+"""Benchmark / validation CLI — the L6 layer of the TPU build (SURVEY.md §2;
+the upstream library has no CLI, §2 "no L6").
+
+Subcommands:
+  gen       synth a column (per-scheme data shapes) -> .npy
+  encode    .npy column -> .gtp container
+  decode    .gtp container -> .npy (device decode; --ref for CPU oracle)
+  validate  device decode vs CPU oracle, bit-exact, every column
+  bench     per-scheme throughput + roofline (wraps bench.py logic)
+  info      dump container header / ratios
+
+Observability (SURVEY.md §6): `--trace DIR` wraps device work in
+jax.profiler.trace; bench emits JSON with GB/s + HBM-touched roofline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_cols(path: str):
+    from .format import read_container
+
+    with open(path, "rb") as f:
+        return read_container(f.read())
+
+
+def cmd_gen(args) -> None:
+    from .datagen import gen_column
+
+    rng = np.random.default_rng(args.seed)
+    v = gen_column(args.scheme, args.n, rng)
+    np.save(args.out, v)
+    print(f"wrote {args.out}: {args.n} x {v.dtype} for scheme {args.scheme}")
+
+
+def cmd_encode(args) -> None:
+    from . import encode
+    from .format import write_container
+
+    v = np.load(args.input)
+    col = encode(v, args.scheme, name=args.name)
+    with open(args.out, "wb") as f:
+        write_container([col], f)
+    print(
+        f"{args.input} -> {args.out}: {col.nbytes_decoded} -> "
+        f"{col.nbytes_compressed} bytes ({col.ratio:.2f}x)"
+    )
+
+
+def cmd_decode(args) -> None:
+    from . import decode, decode_ref
+
+    cols = _load_cols(args.input)
+    col = cols[args.column]
+    if args.ref:
+        out = decode_ref(col)
+    else:
+        ctx = _trace_ctx(args)
+        with ctx:
+            out = np.asarray(decode(col))
+    np.save(args.out, out)
+    print(f"decoded {col.name} ({col.scheme}): {col.n} values -> {args.out}")
+
+
+def cmd_validate(args) -> None:
+    from . import decode, decode_ref
+
+    failures = 0
+    for col in _load_cols(args.input):
+        ref = decode_ref(col)
+        dev = np.asarray(decode(col))
+        ok = np.array_equal(ref, dev)
+        print(f"{col.name:24s} {col.scheme:8s} n={col.n:<12d} "
+              f"{'BIT-EXACT' if ok else 'MISMATCH'}")
+        failures += not ok
+    sys.exit(1 if failures else 0)
+
+
+def cmd_info(args) -> None:
+    for col in _load_cols(args.input):
+        print(json.dumps({
+            "name": col.name, "scheme": col.scheme, "dtype": col.dtype,
+            "n": col.n, "params": col.params,
+            "compressed_bytes": col.nbytes_compressed,
+            "decoded_bytes": col.nbytes_decoded,
+            "ratio": round(col.ratio, 3),
+            "streams": {k: list(v.shape) for k, v in col.streams.items()},
+        }))
+
+
+def cmd_bench(args) -> None:
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "giddy_bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.argv = ["bench.py", "--n", str(args.n), "--iters", str(args.iters),
+                "--schemes", args.schemes]
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def _trace_ctx(args):
+    import contextlib
+
+    if getattr(args, "trace", None):
+        import jax
+
+        return jax.profiler.trace(args.trace)
+    return contextlib.nullcontext()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="giddy-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("scheme")
+    g.add_argument("--n", type=int, default=1 << 20)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--out", default="column.npy")
+    g.set_defaults(fn=cmd_gen)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input")
+    e.add_argument("scheme")
+    e.add_argument("--name", default="col")
+    e.add_argument("--out", default="column.gtp")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("input")
+    d.add_argument("--column", type=int, default=0)
+    d.add_argument("--ref", action="store_true")
+    d.add_argument("--trace", default=None)
+    d.add_argument("--out", default="decoded.npy")
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("validate")
+    v.add_argument("input")
+    v.set_defaults(fn=cmd_validate)
+
+    i = sub.add_parser("info")
+    i.add_argument("input")
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench")
+    b.add_argument("--n", type=int, default=26)
+    b.add_argument("--iters", type=int, default=10)
+    b.add_argument("--schemes", default="nbit,for,delta,dict,rle")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

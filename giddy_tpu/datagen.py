@@ -1,0 +1,53 @@
+"""Synthetic column generators — the data shapes from BASELINE configs
+plus adversarial variants (used by the CLI, benchmarks and tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .util import GROUP
+
+
+def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = False) -> np.ndarray:
+    """Data a given scheme compresses well (or, hard=True, adversarially)."""
+    if scheme in ("nbit", "dzbf"):
+        hi = 2**31 - 1 if hard else 511  # 9-bit case = BASELINE configs[0]
+        return rng.integers(0, hi + 1, n, dtype=np.int64).astype(np.int32)
+    if scheme == "for":
+        base = np.int32(1_700_000_000)
+        return (base + rng.integers(0, 4096, n)).astype(np.int32)
+    if scheme in ("delta", "model"):
+        # sorted timestamps (BASELINE configs[1])
+        steps = rng.integers(0, 16 if not hard else 2**20, n)
+        return np.cumsum(steps).astype(np.int32) + np.int32(1_600_000_000)
+    if scheme == "dict":
+        d = 2**16 if hard else 40
+        vocab = rng.integers(-(2**31), 2**31 - 1, d, dtype=np.int64).astype(np.int32)
+        return vocab[rng.integers(0, d, n)]
+    if scheme in ("rle", "rpe"):
+        if hard:
+            return rng.integers(0, 3, n).astype(np.int32)  # runs of ~1
+        # status flags: long runs (BASELINE configs[3])
+        out = np.zeros(n, dtype=np.int32)
+        pos = 0
+        while pos < n:
+            ln = int(rng.integers(100, 5000))
+            out[pos : pos + ln] = int(rng.integers(0, 5))
+            pos += ln
+        return out
+    if scheme == "bitmap":
+        d = 12 if hard else 4
+        vocab = rng.integers(-100, 100, d, dtype=np.int64).astype(np.int32)
+        return vocab[rng.integers(0, d, n)]
+    if scheme == "dzbv":
+        mag = rng.integers(0, 4, n)
+        v = rng.integers(0, 2**31 - 1, n, dtype=np.int64)
+        return (v % (2 ** (8 * (mag + 1)))).astype(np.uint32).view(np.int32)
+    if scheme == "patched":
+        v = rng.integers(0, 255, n, dtype=np.int64).astype(np.int32)
+        out_idx = rng.choice(n, max(1, n // 100), replace=False)
+        v[out_idx] = rng.integers(2**20, 2**30, out_idx.shape[0])
+        return v
+    if scheme == "raw":
+        return rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+    raise ValueError(scheme)

@@ -1,0 +1,206 @@
+"""Multi-device / multi-host decode — shard_map data parallelism.
+
+New scope relative to the single-GPU reference (SURVEY.md §3.11, §6, call
+stack CS-5): the GROUP tile is the unit of distribution (FORMAT.md §3) —
+per-group streams shard on the group dimension, small side streams
+(dictionaries, frame references, model coefficients, bitmap values)
+replicate and are broadcast once per column, and steady-state decode needs
+zero per-element communication. Each shard runs the *same* Pallas decoder a
+single chip runs; the mesh only changes the BlockSpec'd outer loop.
+
+Multi-host entry: ``jax.distributed.initialize()`` by the caller, then a
+mesh over all devices; DCN only ever carries the initial replicated-stream
+broadcast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import registry
+from .format import EncodedColumn
+from .kernels.common import to_device_streams
+from .util import GROUP, LANES, cdiv, num_groups
+
+
+def default_mesh(axis: str = "d", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@dataclasses.dataclass
+class DistForm:
+    """A column rewritten so every stream is either per-group (leading dim =
+    ng, shardable on it) or replicated; plus the local column template whose
+    decoder each shard runs."""
+
+    local_col: EncodedColumn  # params/n describe ONE shard's slice
+    sharded: dict[str, np.ndarray]  # leading dim = ng_padded
+    replicated: dict[str, np.ndarray]
+    bitmap_axis1: bool = False  # bitmaps shard on axis 1, not 0
+    ng: int = 0  # unpadded group count
+    # patched-only: applied globally after the shard_map
+    patch_streams: dict[str, np.ndarray] | None = None
+    patch_params: dict | None = None
+
+
+def _pad_groups(a: np.ndarray, ng: int, ng_pad: int, axis: int = 0) -> np.ndarray:
+    if ng == ng_pad:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, ng_pad - ng)
+    return np.pad(a, pad)
+
+
+def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
+    """Rewrite `col` for an n_shards mesh (FORMAT.md §3 sharding contract)."""
+    ng = num_groups(col.n)
+    ng_pad = cdiv(ng, n_shards) * n_shards
+    ng_l = ng_pad // n_shards
+    scheme, p, st = col.scheme, col.params, col.streams
+
+    def local(params: dict, streams: dict[str, np.ndarray], repl: dict[str, np.ndarray] | None = None, **kw):
+        lc = EncodedColumn(
+            name=col.name, scheme=kw.pop("scheme", scheme), dtype=col.dtype,
+            n=ng_l * GROUP, params=params, streams={},
+        )
+        return DistForm(local_col=lc, sharded={k: _pad_groups(v, ng, ng_pad) for k, v in streams.items()}, replicated=repl or {}, ng=ng, **kw)
+
+    if scheme in ("nbit", "dzbf"):
+        return local(dict(p), {"packed": st["packed"]})
+    if scheme == "raw":
+        return local({}, {"data": st["data"].reshape(ng, GROUP)})
+    if scheme == "delta":
+        return local(dict(p), {"packed": st["packed"], "anchors": st["anchors"].reshape(ng, 1)})
+    if scheme == "for":
+        gpf = p["frame_len"] // GROUP
+        refs_g = np.repeat(st["refs"], gpf)[:ng].reshape(ng, 1)
+        return local({"bits": p["bits"], "frame_len": GROUP}, {"packed": st["packed"], "refs": refs_g})
+    if scheme == "model":
+        fl = p["frame_len"]
+        g = np.arange(ng, dtype=np.int64)
+        f = (g * GROUP) // fl
+        p0 = ((g * GROUP) % fl).astype(np.int64)
+        a = st["coef_a"].astype(np.int64)[f]
+        b = st["coef_b"].astype(np.int64)[f]
+        a_g = ((a + b * p0) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        return local(
+            {"bits": p["bits"], "frame_len": GROUP, "kind": p["kind"]},
+            {"packed": st["packed"], "coef_a": a_g, "coef_b": st["coef_b"].astype(np.int64)[f].astype(np.int32)},
+        )
+    if scheme == "dict":
+        return local(dict(p), {"codes": st["codes"]}, repl={"values": st["values"]})
+    if scheme in ("rle", "rpe"):
+        r_pad = p["r_pad"]
+        key = "run_ends" if scheme == "rle" else "run_starts"
+        pad_fill = GROUP
+        bounds = st[key].reshape(ng, r_pad)
+        vals = st["run_values"].reshape(ng, r_pad)
+        if ng != ng_pad:
+            bounds = np.concatenate([bounds, np.full((ng_pad - ng, r_pad), pad_fill, np.int32)])
+            vals = _pad_groups(vals, ng, ng_pad)
+        df = local(dict(p), {}, repl={})
+        df.sharded = {"run_values": vals, key: bounds}
+        return df
+    if scheme == "bitmap":
+        d = p["d"]
+        bitmaps = st["bitmaps"].reshape(d, ng, LANES)
+        return local(dict(p), {"bitmaps": bitmaps}, repl={"values": st["values"]}, bitmap_axis1=True)
+    if scheme == "patched":
+        base = EncodedColumn(
+            name=col.name, scheme=col.params["base_scheme"], dtype=col.dtype, n=col.n,
+            params=dict(p["base_params"]),
+            streams={k[len("base_"):]: v for k, v in st.items() if k.startswith("base_")},
+        )
+        df = dist_form(base, n_shards)
+        df.patch_streams = {k: v for k, v in st.items() if not k.startswith("base_")}
+        df.patch_params = {
+            "kind": p["kind"],
+            "count": p["count"],
+            **{k: v for k, v in p.items() if k.startswith("ppos_")},
+        }
+        return df
+    raise NotImplementedError(f"dist decode for scheme {scheme!r}")
+
+
+def _spec_for(arr: np.ndarray, axis: str, axis1: bool) -> P:
+    shard_dim = 1 if axis1 else 0
+    dims = [None] * arr.ndim
+    dims[shard_dim] = axis
+    return P(*dims)
+
+
+def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
+    """Returns (jitted_fn, device_args) decoding the whole column on the
+    mesh; output is the uint32 value array (n_pad_global,), group-sharded."""
+    nd = int(np.prod([mesh.shape[a] for a in (axis if isinstance(axis, tuple) else (axis,))]))
+    df = dist_form(col, nd)
+    builder = registry.get(df.local_col.scheme).decode_device
+    local_decode = builder(df.local_col)
+    names = sorted(df.sharded) + sorted(df.replicated)
+    in_specs = tuple(
+        _spec_for(df.sharded[k], axis, df.bitmap_axis1 and k == "bitmaps") for k in sorted(df.sharded)
+    ) + tuple(P() for _ in sorted(df.replicated))
+
+    def sharded_fn(*arrays):
+        streams = dict(zip(names, arrays))
+        u = local_decode(streams)
+        return u.reshape(-1, GROUP)
+
+    fn = jax.shard_map(
+        sharded_fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis, None),
+        check_vma=False,
+    )
+
+    patch = df.patch_params
+
+    def full(*arrays):
+        u = fn(*arrays).reshape(-1)
+        if patch and patch["count"]:
+            ps = to_device_streams(df.patch_streams)
+            if patch["kind"] == "naive":
+                pos = ps["patch_pos"].astype(jnp.int32)
+            else:
+                from .kernels import delta as k_delta
+
+                pcol = EncodedColumn(
+                    name="_ppos", scheme="delta", dtype="int32", n=patch["count"],
+                    params={"bits": patch["ppos_bits"]}, streams={},
+                )
+                pos = k_delta.build(pcol)(
+                    {"packed": ps["ppos_packed"], "anchors": ps["ppos_anchors"]}
+                )[: patch["count"]].astype(jnp.int32)
+            u = u.at[pos].set(ps["patch_val"])
+        return u
+
+    jfn = jax.jit(full)
+
+    # Place inputs with their target shardings (replicated streams broadcast
+    # once here — the column's only communication).
+    args = []
+    for k in sorted(df.sharded):
+        spec = _spec_for(df.sharded[k], axis, df.bitmap_axis1 and k == "bitmaps")
+        a = df.sharded[k]
+        a = a.view(np.uint32) if a.dtype == np.int32 else a
+        args.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    for k in sorted(df.replicated):
+        a = df.replicated[k]
+        a = a.view(np.uint32) if a.dtype == np.int32 else a
+        args.append(jax.device_put(a, NamedSharding(mesh, P())))
+    return jfn, args
+
+
+def decode_sharded(col: EncodedColumn, mesh: Mesh | None = None, axis: str = "d"):
+    """One-call sharded decode; returns logical-dtype array of length n."""
+    from .api import _to_logical
+
+    mesh = mesh or default_mesh(axis)
+    fn, args = build_sharded_decoder(col, mesh, axis)
+    u = fn(*args)
+    return _to_logical(u, col.dtype)[: col.n]

@@ -1,0 +1,57 @@
+"""Incidence bitmaps — Pallas decoder (FORMAT.md §1.8).
+
+One pass per block: a static (unrolled) loop over the d bitmaps
+accumulates value[d] · bit_d — the reference's iterate-bitmaps/ballot loop
+(libgiddy ``incidence_bitmaps.cuh``, SURVEY.md §3.1) as d 1-bit LMP unpacks
++ multiply-adds on the VPU. d is small by the scheme's nature (very low
+cardinality columns), so the unroll is cheap and the whole bitmap block
+(d × LANES words per group-row) fits VMEM comfortably.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .. import registry
+from ..format import EncodedColumn
+from ..registry import plan
+from ..util import GROUP, LANES, num_groups
+from .common import block_spec, smem_spec, use_interpret
+from .lanes import unpack_lanes
+
+
+def build(col: EncodedColumn):
+    d = col.params["d"]
+    ng = num_groups(col.n)
+    pl_plan = plan(ng * GROUP, 2 * 4 * (d * LANES + GROUP))
+    r = pl_plan.groups_per_block
+
+    def kernel(bm_ref, val_ref, out_ref):
+        acc = unpack_lanes(bm_ref[0], 1) * val_ref[0, 0]
+        for dd in range(1, d):
+            acc += unpack_lanes(bm_ref[dd], 1) * val_ref[0, dd]
+        out_ref[:] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl_plan.grid,),
+        in_specs=[
+            block_spec((d, r, LANES), lambda i: (0, i, 0)),
+            smem_spec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=block_spec((r, GROUP), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ng, GROUP), jnp.uint32),
+        interpret=use_interpret(),
+    )
+
+    def decode(streams):
+        bitmaps = streams["bitmaps"].reshape(d, ng, LANES)
+        values = streams["values"].reshape(1, d)
+        return call(bitmaps, values).reshape(ng * GROUP)
+
+    return decode
+
+
+registry.register_device("bitmap", build)

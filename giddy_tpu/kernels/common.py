@@ -1,0 +1,77 @@
+"""Plumbing shared by all device decoders: interpret-mode fallback, block
+spec construction, and the decoder build/cache protocol the registry calls.
+
+Launch-config resolution (the analog of libgiddy's
+``resolve_launch_configuration``, SURVEY.md §3.8) lives in
+:func:`giddy_tpu.registry.plan`; here we turn a Plan into Pallas specs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..registry import Plan, plan
+from ..util import GROUP, LANES
+
+
+@functools.cache
+def use_interpret() -> bool:
+    """Pallas Mosaic kernels need a real TPU; on CPU (tests, the virtual
+    8-device mesh) run the same kernels in interpreter mode (the reference's
+    'sanitizer' analog too — SURVEY.md §6)."""
+    return jax.default_backend() != "tpu"
+
+
+def vmem():
+    return pltpu.VMEM if not use_interpret() else None
+
+
+def block_spec(block_shape, index_map):
+    if use_interpret():
+        return pl.BlockSpec(block_shape, index_map)
+    return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
+
+
+def smem_spec(block_shape, index_map):
+    """Scalar side-channel block (frame refs, dict sizes, per-step values)."""
+    if use_interpret():
+        return pl.BlockSpec(block_shape, index_map)
+    return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.SMEM)
+
+
+def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = GROUP, extra_bytes_per_group: int = 0, out_dtype=jnp.uint32, pl_plan: Plan | None = None):
+    """Build a pallas_call over row-blocked (group-major) streams.
+
+    Every stream is a (ng, width) array; the grid tiles rows (groups) with
+    ``groups_per_block`` rows per step. Double-buffered in+out bytes per
+    group drive the plan.
+    """
+    if pl_plan is None:
+        bytes_per_group = 2 * 4 * (sum(in_widths) + out_width) + extra_bytes_per_group
+        pl_plan = plan(ng * GROUP, bytes_per_group)
+    r = pl_plan.groups_per_block
+    in_specs = [block_spec((r, w), lambda i: (i, 0)) for w in in_widths]
+    return pl.pallas_call(
+        kernel,
+        grid=(pl_plan.grid,),
+        in_specs=in_specs,
+        out_specs=block_spec((r, out_width), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ng, out_width), out_dtype),
+        interpret=use_interpret(),
+    )
+
+
+def to_device_streams(streams: dict[str, np.ndarray]) -> dict[str, jax.Array]:
+    """Host streams -> device arrays; packed word streams go up as uint32."""
+    out = {}
+    for k, v in streams.items():
+        if v.dtype in (np.int32, np.uint32):
+            v = v.view(np.uint32)
+        out[k] = jnp.asarray(v)
+    return out

@@ -1,0 +1,35 @@
+"""Delta — Pallas decoder (FORMAT.md §1.3; BASELINE configs[1]).
+
+The reference's warp/block inclusive scan (libgiddy ``delta.cuh`` +
+``primitives/warp.cuh``, SURVEY.md CS-2 hot loop) becomes one tile-local
+cumsum: the per-group anchor side stream removes every cross-tile carry, so
+grid steps (and chips) never synchronize.
+"""
+
+from __future__ import annotations
+
+from .. import registry
+from ..format import EncodedColumn
+from ..util import LANES, GROUP, num_groups
+from .common import row_blocked_call
+from .lanes import group_cumsum, unpack_lanes, unzigzag
+
+
+def build(col: EncodedColumn):
+    bits = col.params["bits"]
+    ng = num_groups(col.n)
+
+    def kernel(in_ref, anchor_ref, out_ref):
+        d = unzigzag(unpack_lanes(in_ref[:], bits))
+        out_ref[:] = group_cumsum(d) + anchor_ref[:]
+
+    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
+
+    def decode(streams):
+        anchors = streams["anchors"].reshape(ng, 1)
+        return call(streams["packed"], anchors).reshape(ng * GROUP)
+
+    return decode
+
+
+registry.register_device("delta", build)

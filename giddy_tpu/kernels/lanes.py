@@ -1,0 +1,96 @@
+"""Shared device-side idioms: lane-sliced bit extraction, zigzag, cumsum.
+
+This is the TPU re-think of libgiddy's on-device primitives library
+(``src/cuda/on_device/primitives/warp.cuh``, ``ptx.cuh`` bfe/funnel-shift —
+SURVEY.md §3.6): because the encoder emits the lane-major packed-group
+layout (FORMAT.md §0.1), every warp-shuffle/bit-field-extract trick becomes
+a full-vector shift by a compile-time constant. These helpers are plain
+traced functions usable inside any Pallas kernel body (and, unchanged, in
+XLA-level decode paths).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..util import GROUP, LANES, SLOTS
+
+
+def unpack_lanes(x: jax.Array, bits: int) -> jax.Array:
+    """LMP unpack: (R, bits*LANES) uint32 words -> (R, GROUP) uint32 values.
+
+    Column j = i*LANES + c of the result is the group's value at linear
+    position j — outputs land in linear order by construction (FORMAT §0.1).
+    All shift distances are Python-level constants; every operand is a full
+    (R, 1024) vector: 8 vregs wide, no gathers, no sublane traffic.
+    """
+    if x.dtype != jnp.uint32:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    cols = []
+    for i in range(SLOTS):
+        w0, s = divmod(i * bits, 32)
+        v = x[:, w0 * LANES : (w0 + 1) * LANES]
+        if s:
+            v = v >> jnp.uint32(s)
+        if s + bits > 32:
+            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
+        cols.append(v & mask if bits < 32 else v)
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
+    """LMP unpack writing each slot's vector straight into ``out_ref``
+    (a (R, GROUP) ref) — avoids materializing the concatenation when the
+    kernel has no further use for the full block (nbit/dzbf)."""
+    if x.dtype != jnp.uint32:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    for i in range(SLOTS):
+        w0, s = divmod(i * bits, 32)
+        v = x[:, w0 * LANES : (w0 + 1) * LANES]
+        if s:
+            v = v >> jnp.uint32(s)
+        if s + bits > 32:
+            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
+        out_ref[:, i * LANES : (i + 1) * LANES] = v & mask if bits < 32 else v
+
+
+def unzigzag(z: jax.Array) -> jax.Array:
+    """uint32 zigzag -> uint32 two's-complement signed payload (FORMAT §0.2)."""
+    return (z >> jnp.uint32(1)) ^ (-(z & jnp.uint32(1)))
+
+
+def group_cumsum(x: jax.Array) -> jax.Array:
+    """Per-row inclusive cumsum over the GROUP dimension, wrapping uint32.
+
+    Rows are groups; columns are already in linear order, so this is the
+    whole of delta reconstruction within a tile (anchors remove any
+    cross-tile carry — SURVEY.md §8.1 "anchors everywhere").
+
+    Mosaic has no cumsum primitive, so inside kernels this is the classic
+    Hillis–Steele log-scan: 15 steps of lane-roll + mask + add — the VPU
+    counterpart of libgiddy's warp-shuffle inclusive scan
+    (``primitives/warp.cuh``, SURVEY.md §3.6), with `pltpu.roll` playing
+    the role of ``__shfl_up_sync``.
+    """
+    from .common import use_interpret  # deferred: avoid import cycle at init
+
+    if use_interpret():
+        return jnp.cumsum(x, axis=1, dtype=jnp.uint32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, GROUP), 1)
+    k = 1
+    while k < GROUP:
+        shifted = pltpu.roll(x, k, 1)
+        x = x + jnp.where(col >= k, shifted, jnp.uint32(0))
+        k *= 2
+    return x
+
+
+def linear_iota(rows: int) -> jax.Array:
+    """(rows, GROUP) uint32 iota of within-group linear positions."""
+    return jax.lax.broadcasted_iota(jnp.uint32, (rows, GROUP), 1)

@@ -1,0 +1,84 @@
+"""Exception patching — device decoder (FORMAT.md §1.11).
+
+Two passes on one stream, like the reference (SURVEY.md call stack CS-3):
+base decode (Pallas) then a scatter of the exception values; the
+compressed-indices variant delta-decodes the positions first (reusing the
+delta Pallas kernel on the nested column). On the mesh, patch streams are
+pre-partitioned per shard so the scatter stays chip-local (handled by the
+dist driver).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import registry
+from ..format import EncodedColumn
+from ..util import GROUP, LANES, num_groups
+from . import delta as k_delta
+from .common import row_blocked_call
+from .lanes import unpack_lanes, unpack_to
+
+
+def build(col: EncodedColumn):
+    bp = col.params["base_params"]
+    bits = bp["bits"]
+    ng = num_groups(col.n)
+    count = col.params["count"]
+    kind = col.params["kind"]
+    base_scheme = col.params["base_scheme"]
+
+    if base_scheme == "for":
+        gpf = bp["frame_len"] // GROUP
+
+        def kernel(in_ref, ref_ref, out_ref):
+            out_ref[:] = unpack_lanes(in_ref[:], bits) + ref_ref[:]
+
+        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
+
+        def base_decode(streams):
+            refs = streams["base_refs"]
+            per_group = jnp.repeat(refs, gpf, total_repeat_length=refs.shape[0] * gpf)
+            return call(streams["base_packed"], per_group[:ng].reshape(ng, 1)).reshape(ng * GROUP)
+
+    else:
+
+        def kernel(in_ref, out_ref):
+            unpack_to(out_ref, in_ref[:], bits)
+
+        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES])
+
+        def base_decode(streams):
+            return call(streams["base_packed"]).reshape(ng * GROUP)
+
+    pos_decode = None
+    if kind == "compressed" and count:
+        pcol = EncodedColumn(
+            name="_ppos",
+            scheme="delta",
+            dtype="int32",
+            n=count,
+            params={"bits": col.params["ppos_bits"]},
+            streams={},
+        )
+        pos_call = k_delta.build(pcol)
+
+        def pos_decode(streams):
+            return pos_call(
+                {"packed": streams["ppos_packed"], "anchors": streams["ppos_anchors"]}
+            )[:count]
+
+    def decode(streams):
+        u = base_decode(streams)
+        if count:
+            if pos_decode is None:
+                pos = streams["patch_pos"].astype(jnp.int32)
+            else:
+                pos = pos_decode(streams).astype(jnp.int32)
+            u = u.at[pos].set(streams["patch_val"])
+        return u
+
+    return decode
+
+
+registry.register_device("patched", build)

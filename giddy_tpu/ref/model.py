@@ -1,0 +1,96 @@
+"""Per-frame linear model — CPU reference codec (FORMAT.md §1.7).
+
+Upstream analog: libgiddy ``src/kernels/decompression/model.cuh``
+(SURVEY.md §3.1): a per-frame model predicts values, the stream stores
+residuals; constant model = FOR, linear model handles sorted/sequential
+columns. Coefficients are integer (wrapping int32) so decode is bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import registry
+from ..format import EncodedColumn
+from ..util import (
+    GROUP,
+    bits_needed,
+    cdiv,
+    dtype_to_u32,
+    pad_to_groups,
+    u32_to_dtype,
+    unzigzag,
+    zigzag,
+)
+from .lmp import lmp_pack, lmp_unpack
+
+
+def _fit_linear_int(frame: np.ndarray) -> tuple[int, int]:
+    """Integer least-squares-ish fit: slope from endpoints median, intercept
+    minimizing residual range. Exactness doesn't matter (any (a,b) is valid);
+    compression does."""
+    m = frame.shape[0]
+    if m < 2:
+        return int(frame[0]) if m else 0, 0
+    b = int(np.round((float(frame[-1]) - float(frame[0])) / (m - 1)))
+    pred = (np.arange(m, dtype=np.int64) * b) & 0xFFFFFFFF
+    resid = (frame.astype(np.int64) - pred) & 0xFFFFFFFF
+    # Choose a = min residual (unsigned) so offsets are non-negative-ish;
+    # then re-center via signed residuals to keep zigzag small.
+    a = int(resid.astype(np.uint32).astype(np.int64).min())
+    return a, b
+
+
+def encode(
+    values: np.ndarray,
+    *,
+    bits: int | None = None,
+    frame_len: int = GROUP,
+    name: str = "col",
+) -> EncodedColumn:
+    if frame_len % GROUP:
+        raise ValueError(f"frame_len must be a multiple of GROUP={GROUP}")
+    values = np.asarray(values)
+    n = values.shape[0]
+    u = pad_to_groups(dtype_to_u32(values))
+    n_pad = u.shape[0]
+    nf = cdiv(n_pad, frame_len)
+    upad = np.zeros(nf * frame_len, dtype=np.uint32)
+    upad[:n_pad] = u
+    frames = upad.reshape(nf, frame_len).astype(np.int64)
+    coef_a = np.empty(nf, dtype=np.int32)
+    coef_b = np.empty(nf, dtype=np.int32)
+    for f in range(nf):
+        a, b = _fit_linear_int(frames[f])
+        coef_a[f] = np.int64(a).astype(np.int32)
+        coef_b[f] = np.int64(b).astype(np.int32)
+    pos = np.arange(frame_len, dtype=np.int64)
+    pred = (coef_a[:, None].astype(np.int64) + coef_b[:, None].astype(np.int64) * pos) & 0xFFFFFFFF
+    resid = ((frames - pred) & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
+    z = zigzag(resid.reshape(-1)[:n_pad])
+    if bits is None:
+        bits = bits_needed(int(z.max(initial=0)))
+    return EncodedColumn(
+        name=name,
+        scheme="model",
+        dtype=str(values.dtype),
+        n=n,
+        params={"bits": int(bits), "frame_len": int(frame_len), "kind": "linear"},
+        streams={"packed": lmp_pack(z, bits), "coef_a": coef_a, "coef_b": coef_b},
+    )
+
+
+def decode(col: EncodedColumn) -> np.ndarray:
+    bits, frame_len = col.params["bits"], col.params["frame_len"]
+    z = lmp_unpack(col.streams["packed"], bits, col.n)
+    resid = unzigzag(z).astype(np.int64)
+    a = col.streams["coef_a"].astype(np.int64)
+    b = col.streams["coef_b"].astype(np.int64)
+    j = np.arange(col.n, dtype=np.int64)
+    f = j // frame_len
+    p = j % frame_len
+    u = ((a[f] + b[f] * p + resid) & 0xFFFFFFFF).astype(np.uint32)
+    return u32_to_dtype(u, col.dtype)
+
+
+registry.register("model", encode, decode)

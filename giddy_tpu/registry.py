@@ -1,0 +1,105 @@
+"""Scheme registry + decode planning.
+
+TPU-native analog of libgiddy's kernel factory/registry and
+launch-configuration resolution (upstream ``src/kernel_wrappers/`` +
+``static_block`` registration, ``resolve_launch_configuration`` — SURVEY.md
+§3.8). Differences, by design:
+
+- Registration is a decorator at import time (the analog of the reference's
+  static-initializer ``static_block`` trick; linking a TU becomes importing
+  a module).
+- The registry key is the scheme name; type/width parameters that the
+  reference bakes into C++ template instantiations are *runtime metadata*
+  here — jit specialization plays the role of template instantiation, and
+  the jit cache is the instantiated-kernel table.
+- ``plan()`` is the launch-config resolver: it picks the Pallas grid/block
+  shape (groups per block) from the problem size and a VMEM budget instead
+  of CUDA occupancy math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import numpy as np
+
+from .format import EncodedColumn
+from .util import GROUP, cdiv, num_groups
+
+
+@dataclasses.dataclass
+class Codec:
+    scheme: str
+    encode: Callable[..., EncodedColumn]
+    decode_ref: Callable[[EncodedColumn], np.ndarray]
+    # Device decoder: installed by giddy_tpu.kernels at import; takes the
+    # column plus device arrays for its streams, returns a jax array of
+    # n_pad elements (caller slices to n).
+    decode_device: Callable[..., Any] | None = None
+
+
+_REGISTRY: dict[str, Codec] = {}
+
+
+def register(scheme: str, encode: Callable[..., EncodedColumn], decode_ref: Callable[[EncodedColumn], np.ndarray]) -> Codec:
+    codec = Codec(scheme=scheme, encode=encode, decode_ref=decode_ref)
+    _REGISTRY[scheme] = codec
+    return codec
+
+
+def register_device(scheme: str, decode_device: Callable[..., Any]) -> None:
+    _REGISTRY[scheme].decode_device = decode_device
+
+
+def get(scheme: str) -> Codec:
+    try:
+        return _REGISTRY[scheme]
+    except KeyError:
+        raise KeyError(
+            f"scheme {scheme!r} not registered; known: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def schemes() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+@dataclasses.dataclass(frozen=True)
+class Plan:
+    """Resolved launch configuration for a Pallas decode (SURVEY.md §3.8)."""
+
+    n_groups: int
+    groups_per_block: int  # Pallas block = this many GROUPs
+    grid: int  # number of grid steps
+
+    @property
+    def block_values(self) -> int:
+        return self.groups_per_block * GROUP
+
+
+# VMEM budget for one decode block's working set (in+out+slack), bytes.
+# v5p/v5e have ~16-32 MiB VMEM/core; Pallas double-buffers blocks, so stay
+# well under half.
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def plan(n: int, bytes_per_group: int) -> Plan:
+    """Pick groups-per-block so the working set fits the VMEM budget.
+
+    ``bytes_per_group`` = total VMEM bytes one group needs (packed input
+    block + output block + scratch).
+    """
+    ng = num_groups(n)
+    gpb = max(1, _VMEM_BUDGET // max(bytes_per_group, 1))
+    # Powers of two divide evenly more often and tile nicely.
+    while gpb & (gpb - 1):
+        gpb &= gpb - 1
+    gpb = min(gpb, ng)
+    # Prefer a block count that divides the group count to avoid a ragged
+    # tail block (Pallas pads; our pad groups decode to garbage we slice off,
+    # but an even split keeps every step identical).
+    while ng % gpb:
+        gpb //= 2
+    gpb = max(gpb, 1)
+    return Plan(n_groups=ng, groups_per_block=gpb, grid=cdiv(ng, gpb))

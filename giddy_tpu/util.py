@@ -1,0 +1,122 @@
+"""Host utility layer.
+
+TPU-native equivalent of libgiddy's ``src/util/`` (integer.h exact-width
+ints, math.hpp div_rounding_up/ilog2, endianness.h — per SURVEY.md §3.9;
+upstream mount was empty, paths are recollected). Everything here is plain
+Python/NumPy; device-side helpers live in ``giddy_tpu.kernels.lanes``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Fundamental layout constants (FORMAT.md §0). Frozen by the format spec.
+LANES = 1024  # interleave lanes C (8 hardware lane-tiles of 128)
+SLOTS = 32  # values per lane per group S
+GROUP = LANES * SLOTS  # 32768 — the independently-decodable tile
+WORD_BITS = 32
+
+U32 = np.uint32
+I32 = np.int32
+
+_DTYPES = {
+    "int32": np.int32,
+    "uint32": np.uint32,
+    "int64": np.int64,
+    "uint64": np.uint64,
+    "int16": np.int16,
+    "uint16": np.uint16,
+    "int8": np.int8,
+    "uint8": np.uint8,
+}
+
+
+def np_dtype(name: str) -> np.dtype:
+    return np.dtype(_DTYPES[name])
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def is_power_of_2(x: int) -> bool:
+    return x > 0 and (x & (x - 1)) == 0
+
+
+def next_power_of_2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+def ilog2(x: int) -> int:
+    if not is_power_of_2(x):
+        raise ValueError(f"{x} is not a power of two")
+    return x.bit_length() - 1
+
+
+def bits_needed(max_value: int) -> int:
+    """Smallest B with max_value < 2**B (B>=1); the NBit width chooser."""
+    return max(1, int(max_value).bit_length())
+
+
+def bytes_needed(max_value: int) -> int:
+    return max(1, cdiv(bits_needed(max_value), 8))
+
+
+def num_groups(n: int) -> int:
+    return cdiv(max(n, 1), GROUP)
+
+
+def pad_to_groups(v: np.ndarray, fill: int = 0) -> np.ndarray:
+    """Pad a 1-D value array to a whole number of GROUPs (FORMAT.md §0)."""
+    n = v.shape[0]
+    n_pad = num_groups(n) * GROUP
+    if n == n_pad:
+        return np.ascontiguousarray(v)
+    out = np.full(n_pad, fill, dtype=v.dtype)
+    out[:n] = v
+    return out
+
+
+def dtype_to_u32(v: np.ndarray) -> np.ndarray:
+    """Reinterpret a logical-dtype array as uint32 payloads (zero-extended).
+
+    32-bit dtypes are bit-reinterpreted; narrower dtypes are zero-extended
+    via their unsigned view. 64-bit columns are not LMP-packable directly
+    (split into planes or use dzbv).
+    """
+    dt = v.dtype
+    if dt.itemsize == 4:
+        return v.view(np.uint32)
+    if dt.itemsize > 4:
+        raise ValueError(f"{dt} too wide for 32-bit LMP packing")
+    return v.view(np.dtype(f"uint{dt.itemsize * 8}")).astype(np.uint32)
+
+
+def u32_to_dtype(u: np.ndarray, dtype_name: str) -> np.ndarray:
+    """Inverse of :func:`dtype_to_u32`: uint32 payloads -> logical dtype."""
+    dt = np_dtype(dtype_name)
+    if dt.itemsize == 4:
+        return u.view(dt)
+    if dt.itemsize > 4:
+        raise ValueError(f"{dt} too wide for 32-bit LMP payloads")
+    return u.astype(np.dtype(f"uint{dt.itemsize * 8}")).view(dt)
+
+
+def zigzag(d: np.ndarray) -> np.ndarray:
+    """Signed int32 -> unsigned zigzag (FORMAT.md §0.2)."""
+    d = d.astype(np.int32, copy=False)
+    return ((d.astype(np.uint32) << U32(1)) ^ (d >> 31).astype(np.uint32)).astype(
+        np.uint32
+    )
+
+
+def unzigzag(z: np.ndarray) -> np.ndarray:
+    """Unsigned zigzag -> signed int32 (FORMAT.md §0.2)."""
+    z = z.astype(np.uint32, copy=False)
+    return ((z >> U32(1)) ^ (-(z & U32(1)).astype(np.int32)).astype(np.uint32)).astype(
+        np.int32
+    )

@@ -1,0 +1,75 @@
+"""Sharded-decode checks, run on an 8-virtual-device CPU mesh.
+
+Executed as a subprocess by test_dist.py (the main pytest process may hold
+the real single-TPU backend; the multi-host code path needs 8 devices —
+SURVEY.md §5.2.3). Exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+if os.environ.get("_GIDDY_DIST_CHILD") != "1":
+    # The axon sitecustomize imports jax at interpreter startup with
+    # JAX_PLATFORMS=axon baked in; env edits after that are too late.
+    # Re-exec with a clean CPU-mesh environment.
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["_GIDDY_DIST_CHILD"] = "1"
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+import giddy_tpu as gt
+from giddy_tpu.dist import build_sharded_decoder, decode_sharded, default_mesh
+from giddy_tpu.util import GROUP
+
+from helpers import gen_column
+
+DIST_SCHEMES = [
+    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "raw", "patched",
+]
+
+
+def main() -> None:
+    assert len(jax.devices()) == 8, jax.devices()
+    rng = np.random.default_rng(77)
+    for scheme in DIST_SCHEMES:
+        v = gen_column(scheme, 16 * GROUP, rng)
+        col = gt.encode(v, scheme)
+        out = np.asarray(decode_sharded(col))
+        np.testing.assert_array_equal(out, gt.decode_ref(col), err_msg=scheme)
+        print(f"[dist] {scheme}: ok", flush=True)
+    # ragged group counts (padded groups)
+    for scheme in ("nbit", "delta", "rle"):
+        v = gen_column(scheme, 3 * GROUP + 421, rng)
+        col = gt.encode(v, scheme)
+        np.testing.assert_array_equal(
+            np.asarray(decode_sharded(col)), gt.decode_ref(col), err_msg=f"ragged-{scheme}"
+        )
+    print("[dist] ragged: ok", flush=True)
+    # output must stay sharded (no implicit gather)
+    col = gt.encode(gen_column("nbit", 8 * GROUP, rng), "nbit")
+    fn, args = build_sharded_decoder(col, default_mesh())
+    u = fn(*args)
+    assert len(u.sharding.device_set) == 8, u.sharding
+    print("[dist] sharded-output: ok", flush=True)
+    # patched (compressed indices) across shards
+    v = gen_column("patched", 16 * GROUP, rng)
+    col = gt.encode(v, "patched", kind="compressed")
+    np.testing.assert_array_equal(np.asarray(decode_sharded(col)), gt.decode_ref(col))
+    print("[dist] patched-compressed: ok", flush=True)
+    print("ALL DIST CHECKS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Container serialization round-trip + golden-file format freeze
+(SURVEY.md §5.2.4: the on-disk format must never silently drift)."""
+
+import hashlib
+import pathlib
+
+import numpy as np
+import pytest
+
+import giddy_tpu as gt
+from giddy_tpu.util import GROUP
+
+from helpers import gen_column
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def test_container_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    cols = [
+        gt.encode(gen_column(s, GROUP + 5, rng), s, name=f"c_{s}")
+        for s in ["nbit", "delta", "dict", "rle"]
+    ]
+    blob = gt.container_bytes(cols)
+    back = gt.read_container(blob)
+    assert [c.name for c in back] == [c.name for c in cols]
+    for a, b in zip(cols, back):
+        assert a.scheme == b.scheme and a.n == b.n and a.params == b.params
+        np.testing.assert_array_equal(gt.decode_ref(a), gt.decode_ref(b))
+
+
+def test_stream_alignment():
+    rng = np.random.default_rng(2)
+    col = gt.encode(gen_column("nbit", GROUP, rng), "nbit")
+    blob = gt.container_bytes([col])
+    back = gt.read_container(blob)
+    # offsets must be 64-byte aligned for zero-copy device feeding
+    import json
+
+    hlen = int.from_bytes(blob[8:16], "little")
+    header = json.loads(blob[16 : 16 + hlen])
+    for c in header["columns"]:
+        for m in c["streams"].values():
+            assert m["offset"] % 64 == 0
+
+
+@pytest.mark.parametrize("scheme,digest_name", [("nbit", "nbit_9bit"), ("delta", "delta_ts")])
+def test_golden_format_frozen(scheme, digest_name):
+    """Canonical encodes must byte-match the checked-in golden digests."""
+    rng = np.random.default_rng(20260817)
+    v = gen_column(scheme, GROUP + 100, rng)
+    col = gt.encode(v, scheme, name=digest_name)
+    digest = hashlib.sha256(gt.container_bytes([col])).hexdigest()
+    gfile = GOLDEN / f"{digest_name}.sha256"
+    if not gfile.exists():
+        GOLDEN.mkdir(exist_ok=True)
+        gfile.write_text(digest + "\n")
+    assert gfile.read_text().strip() == digest, (
+        f"on-disk format drifted for {digest_name}; if intentional, update "
+        f"tests/golden/ and bump FORMAT.md version"
+    )
