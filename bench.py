@@ -54,16 +54,24 @@ def gen(scheme: str, n: int, rng: np.random.Generator) -> np.ndarray:
 
 
 def time_decode(col, iters: int) -> float:
+    """Median of per-batch timings (batches of 4 dispatches, synced), after
+    3 warmup runs — the axon tunnel shows large run-to-run variance, so a
+    single mean is not trustworthy."""
     fn = gt.get_decoder(col)
     streams = gt.api.device_streams(col)
     jax.block_until_ready(streams)
-    out = fn(streams)
-    jax.block_until_ready(out)  # warmup + compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(streams)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    for _ in range(3):
+        jax.block_until_ready(fn(streams))  # compile + warmup
+    batch = 4
+    times = []
+    for _ in range(max(iters, 5)):
+        t0 = time.perf_counter()
+        for _ in range(batch):
+            out = fn(streams)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / batch)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main() -> None:

@@ -13,7 +13,7 @@ from .. import registry
 from ..format import EncodedColumn
 from ..util import GROUP, LANES, num_groups
 from .common import block_spec, row_blocked_call
-from .lanes import unpack_lanes
+from .lanes import unpack_map_to
 
 
 def build(col: EncodedColumn):
@@ -23,7 +23,9 @@ def build(col: EncodedColumn):
     gpf = frame_len // GROUP  # groups per frame
 
     def kernel(in_ref, ref_ref, out_ref):
-        out_ref[:] = unpack_lanes(in_ref[:], bits) + ref_ref[:]
+        # materialize the lane broadcast once, not per slot
+        ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
+        unpack_map_to(out_ref, in_ref[:], bits, lambda v, i: v + ref)
 
     call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
 

@@ -57,6 +57,27 @@ def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
         out_ref[:, i * LANES : (i + 1) * LANES] = v & mask if bits < 32 else v
 
 
+def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
+    """LMP unpack with a fused per-slot epilogue: ``epilogue(v, i)`` maps the
+    (R, LANES) slot vector before it is stored. Keeps FOR/model/dict decode
+    one pass with zero intermediate materialization (the analog of the
+    reference fusing the frame-ref add into the unpack loop, SURVEY.md CS-2).
+    """
+    if x.dtype != jnp.uint32:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    for i in range(SLOTS):
+        w0, s = divmod(i * bits, 32)
+        v = x[:, w0 * LANES : (w0 + 1) * LANES]
+        if s:
+            v = v >> jnp.uint32(s)
+        if s + bits > 32:
+            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
+        if bits < 32:
+            v = v & mask
+        out_ref[:, i * LANES : (i + 1) * LANES] = epilogue(v, i)
+
+
 def unzigzag(z: jax.Array) -> jax.Array:
     """uint32 zigzag -> uint32 two's-complement signed payload (FORMAT §0.2)."""
     return (z >> jnp.uint32(1)) ^ (-(z & jnp.uint32(1)))

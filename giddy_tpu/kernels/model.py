@@ -8,14 +8,16 @@ SURVEY.md §3.1).
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import registry
 from ..format import EncodedColumn
 from ..util import GROUP, LANES, num_groups
 from .common import row_blocked_call
-from .lanes import linear_iota, unpack_lanes, unzigzag
+from .lanes import unpack_map_to, unzigzag
+from ..util import LANES as _LANES
 
 
 def build(col: EncodedColumn):
@@ -27,10 +29,19 @@ def build(col: EncodedColumn):
     p0 = jnp.asarray(((g * GROUP) % frame_len).astype(np.uint32))
 
     def kernel(in_ref, a_ref, b_ref, out_ref):
-        resid = unzigzag(unpack_lanes(in_ref[:], bits))
-        rows = resid.shape[0]
-        pred = a_ref[:] + b_ref[:] * linear_iota(rows)
-        out_ref[:] = pred + resid
+        rows = a_ref.shape[0]
+        # slot i's positions are i*LANES + lane:
+        # pred = (a + b*lane) + (b*LANES)*i — materialize both lane-broadcasts
+        # once; the per-slot term is then a full-vector multiply-add.
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, _LANES), 1)
+        base = jnp.broadcast_to(a_ref[:], (rows, _LANES)) + b_ref[:] * lane
+        step = jnp.broadcast_to(b_ref[:] * jnp.uint32(_LANES), (rows, _LANES))
+        unpack_map_to(
+            out_ref,
+            in_ref[:],
+            bits,
+            lambda v, i: base + step * jnp.uint32(i) + unzigzag(v),
+        )
 
     call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1, 1])
 

@@ -26,10 +26,14 @@ def encode(
         raise ValueError(f"frame_len must be a multiple of GROUP={GROUP}")
     values = np.asarray(values)
     n = values.shape[0]
-    u = pad_to_groups(dtype_to_u32(values))
+    u32 = dtype_to_u32(values)
+    # Pad with the last value, not zero: a zero tail would drag the final
+    # frame's reference to 0 and blow up the offset bit width.
+    fill = int(u32[-1]) if n else 0
+    u = pad_to_groups(u32, fill=fill)
     n_pad = u.shape[0]
     nf = cdiv(n_pad, frame_len)
-    upad = np.zeros(nf * frame_len, dtype=np.uint32)
+    upad = np.full(nf * frame_len, fill, dtype=np.uint32)
     upad[:n_pad] = u
     frames = upad.reshape(nf, frame_len)
     # Reference = per-frame min (unsigned): offsets are then all >= 0.

@@ -53,14 +53,16 @@ def encode(
         raise ValueError(f"patch kind must be naive|compressed, got {kind}")
     values = np.asarray(values)
     n = values.shape[0]
-    u = pad_to_groups(dtype_to_u32(values))
+    u32 = dtype_to_u32(values)
+    fill = int(u32[-1]) if n else 0  # last-value pad keeps frame refs sane
+    u = pad_to_groups(u32, fill=fill)
     base_params: dict = {}
     streams: dict = {}
     if base_scheme == "for":
         if frame_len % GROUP:
             raise ValueError(f"frame_len must be a multiple of GROUP={GROUP}")
         nf = cdiv(u.shape[0], frame_len)
-        upad = np.zeros(nf * frame_len, dtype=np.uint32)
+        upad = np.full(nf * frame_len, fill, dtype=np.uint32)
         upad[: u.shape[0]] = u
         refs = upad.reshape(nf, frame_len).min(axis=1)
         offs = (upad.reshape(nf, frame_len) - refs[:, None]).reshape(-1)[: u.shape[0]]
@@ -71,8 +73,9 @@ def encode(
     if bits is None:
         bits = _pick_bits(offs[:n], cover)
     mask = offs >> np.uint32(bits) != 0 if bits < 32 else np.zeros_like(offs, bool)
-    mask[n:] = False
-    pos = np.nonzero(mask)[0].astype(np.int64)
+    # Pad positions get zeroed like exceptions (they may replicate an
+    # exceptional last value) but are never recorded as patches.
+    pos = np.nonzero(mask[:n])[0].astype(np.int64)
     patch_val = u[pos].view(np.int32)
     offs = np.where(mask, 0, offs)  # benign stand-in for exceptions
     base_params["bits"] = int(bits)
