@@ -5,10 +5,12 @@ Prints ONE JSON line: the geometric-mean decode GB/s across the five
 headline schemes (RLE/FOR/delta/dict/NBit — BASELINE.json "metric"),
 `vs_baseline` = ratio to the DaMoN'17 reference recollections in
 BASELINE.md (order-of-magnitude anchors: NBit/FOR/dict ≈ 65 GB/s,
-delta/RLE ≈ 35 GB/s on a Pascal GPU). Per-scheme detail goes to stderr and
-results/bench_detail.json.
+delta/RLE ≈ 35 GB/s decoded on a Pascal GPU). Per-scheme detail goes to
+stderr and results/bench_detail.json.
 
-Usage: python bench.py [--n LOG2_VALUES] [--schemes a,b,c] [--iters K]
+Usage:
+  python bench.py [--n LOG2] [--schemes a,b,c|all] [--iters K] [--mixed]
+                  [--dist]
 """
 
 from __future__ import annotations
@@ -28,82 +30,176 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 import giddy_tpu as gt
-from giddy_tpu.util import GROUP
+from giddy_tpu.datagen import gen_column
 
 # Reference throughput recollections (GB/s decoded, DaMoN'17 — BASELINE.md).
-REF_GBPS = {"nbit": 65.0, "for": 65.0, "delta": 35.0, "dict": 65.0, "rle": 35.0}
+REF_GBPS = {
+    "nbit": 65.0, "for": 65.0, "dict": 65.0, "dzbf": 65.0,
+    "delta": 35.0, "rle": 35.0, "rpe": 35.0, "dzbv": 35.0,
+    "model": 50.0, "bitmap": 50.0, "patched": 50.0, "raw": 100.0,
+}
+HEADLINE = ["nbit", "for", "delta", "dict", "rle"]
+ALL = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw"]
 
 
-def gen(scheme: str, n: int, rng: np.random.Generator) -> np.ndarray:
-    if scheme == "nbit":  # configs[0]: 9-bit packed int32
-        return rng.integers(0, 512, n, dtype=np.int64).astype(np.int32)
-    if scheme == "for":
-        return (np.int32(1_700_000_000) + rng.integers(0, 4096, n)).astype(np.int32)
-    if scheme == "delta":  # configs[1]: sorted timestamps
-        return (np.cumsum(rng.integers(0, 16, n)) + 1_600_000_000).astype(np.int32)
-    if scheme == "dict":  # configs[2]: low-cardinality codes
-        vocab = rng.integers(0, 2**31 - 1, 64, dtype=np.int64).astype(np.int32)
-        return vocab[rng.integers(0, 64, n)]
-    if scheme == "rle":  # configs[3]: repetitive status flags
-        nruns = max(1, n // 1000)
-        lens = rng.integers(500, 1500, nruns)
-        vals = rng.integers(0, 5, nruns).astype(np.int32)
-        out = np.repeat(vals, lens)
-        return out[:n] if out.shape[0] >= n else np.concatenate([out, np.full(n - out.shape[0], vals[-1], np.int32)])
-    raise ValueError(scheme)
-
-
-def time_decode(col, iters: int) -> float:
-    """Median of per-batch timings (batches of 4 dispatches, synced), after
-    3 warmup runs — the axon tunnel shows large run-to-run variance, so a
-    single mean is not trustworthy."""
-    fn = gt.get_decoder(col)
-    streams = gt.api.device_streams(col)
-    jax.block_until_ready(streams)
+def _median_time(run, iters: int, batch: int = 4) -> float:
+    """Median of per-batch timings after warmup — the device shows large
+    run-to-run variance, so a single mean is not trustworthy."""
     for _ in range(3):
-        jax.block_until_ready(fn(streams))  # compile + warmup
-    batch = 4
+        jax.block_until_ready(run())
     times = []
     for _ in range(max(iters, 5)):
         t0 = time.perf_counter()
         for _ in range(batch):
-            out = fn(streams)
+            out = run()
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / batch)
     times.sort()
     return times[len(times) // 2]
 
 
+def prepare_scheme(scheme: str, n: int, rng):
+    """Encode + compile + warm up (NOT timed). Compiles must all happen
+    before any timing: on the axon tunnel, a compile event degrades
+    subsequent execution in the same process, so the bench runs two
+    phases — prepare everything, then time everything."""
+    v = gen_column(scheme, n, rng)
+    col = gt.encode(v, scheme, name=f"bench_{scheme}")
+    fn = gt.get_decoder(col)
+    streams = gt.api.device_streams(col)
+    jax.block_until_ready(streams)
+    jax.block_until_ready(fn(streams))
+    return col, (lambda: fn(streams))
+
+
+def time_prepared(col, run, scheme: str, iters: int) -> dict:
+    t = _median_time(run, iters)
+    touched = (col.nbytes_compressed + col.nbytes_decoded) / 1e9
+    return {
+        "decode_GBps": col.nbytes_decoded / 1e9 / t,
+        "ratio": col.ratio,
+        "hbm_touched_GBps": touched / t,
+        "time_s": t,
+        "vs_ref": col.nbytes_decoded / 1e9 / t / REF_GBPS.get(scheme, 50.0),
+    }
+
+
+def bench_mixed(n: int, iters: int, rng) -> dict:
+    """Mixed TPC-H-style column set (BASELINE configs[4]), one jitted
+    program for the whole container."""
+    cols = [
+        gt.encode(gen_column(s, n // 4, rng), s, name=f"mix_{s}")
+        for s in ("delta", "dict", "rle", "patched")
+    ]
+    decoders = [gt.get_decoder(c) for c in cols]
+    streams = [gt.api.device_streams(c) for c in cols]
+    jax.block_until_ready(streams)
+
+    @jax.jit
+    def run(ss):
+        return [d(s) for d, s in zip(decoders, ss)]
+
+    t = _median_time(lambda: run(streams), iters)
+    decoded = sum(c.nbytes_decoded for c in cols) / 1e9
+    comp = sum(c.nbytes_compressed for c in cols) / 1e9
+    return {
+        "decode_GBps": decoded / t,
+        "ratio": decoded / comp,
+        "hbm_touched_GBps": (decoded + comp) / t,
+        "time_s": t,
+        "vs_ref": decoded / t / 50.0,
+    }
+
+
+def bench_dist(n: int, iters: int, rng) -> dict:
+    """Sharded decode over all local devices (scaling eff. denominator is
+    the single-chip rate; with 1 local device this just validates the
+    sharded path's overhead)."""
+    from giddy_tpu.dist import build_sharded_decoder, default_mesh
+
+    mesh = default_mesh()
+    v = gen_column("nbit", n, rng)
+    col = gt.encode(v, "nbit", name="dist_nbit")
+    fn, args = build_sharded_decoder(col, mesh)
+    jax.block_until_ready(args)
+    t = _median_time(lambda: fn(*args), iters)
+    return {
+        "devices": len(mesh.devices.flat),
+        "decode_GBps": col.nbytes_decoded / 1e9 / t,
+        "time_s": t,
+    }
+
+
+def _run_one(kind: str, n: int, iters: int) -> dict:
+    """Executed in a fresh subprocess (--one): device dispatch latency in
+    this environment degrades over process lifetime after compiles, so
+    every measurement gets a clean process; the remote compile cache keeps
+    the per-process compile cost low."""
+    rng = np.random.default_rng(0)
+    if kind == "mixed":
+        return bench_mixed(n, iters, rng)
+    if kind == "dist":
+        return bench_dist(n, iters, rng)
+    col, run = prepare_scheme(kind, n, rng)
+    return time_prepared(col, run, kind, iters)
+
+
+def _spawn_one(kind: str, args) -> dict:
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", kind,
+               "--n", str(args.n), "--iters", str(args.iters), "--out", tf.name]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        if proc.returncode != 0:
+            raise RuntimeError(f"bench subprocess {kind} failed:\n{proc.stderr[-2000:]}")
+        return json.loads(pathlib.Path(tf.name).read_text())
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=26, help="log2 of element count per column")
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--schemes", type=str, default="nbit,for,delta,dict,rle")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--schemes", type=str, default=",".join(HEADLINE))
+    ap.add_argument("--mixed", action="store_true", help="also run the mixed-container config")
+    ap.add_argument("--dist", action="store_true", help="also run sharded decode over local devices")
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)  # internal
+    ap.add_argument("--out", default=None, help=argparse.SUPPRESS)  # internal
+    ap.add_argument("--no-subproc", action="store_true", help="measure in-process (debug)")
     args = ap.parse_args()
     n = 1 << args.n
+    if args.one:
+        r = _run_one(args.one, n, args.iters)
+        pathlib.Path(args.out).write_text(json.dumps(r))
+        return
+    schemes = ALL if args.schemes == "all" else args.schemes.split(",")
+    detail = {"device": str(jax.devices()[0]) if args.no_subproc else "subproc", "n": n, "schemes": {}}
     rng = np.random.default_rng(0)
-    detail = {"device": str(jax.devices()[0]), "n": n, "schemes": {}}
-    ratios = []
-    gbps_all = []
-    for scheme in args.schemes.split(","):
-        v = gen(scheme, n, rng)
-        col = gt.encode(v, scheme, name=f"bench_{scheme}")
-        t = time_decode(col, args.iters)
-        decoded_gb = col.nbytes_decoded / 1e9
-        gbps = decoded_gb / t
-        touched = (col.nbytes_compressed + col.nbytes_decoded) / 1e9
-        detail["schemes"][scheme] = {
-            "decode_GBps": gbps,
-            "ratio": col.ratio,
-            "hbm_touched_GBps": touched / t,
-            "time_s": t,
-            "vs_ref": gbps / REF_GBPS.get(scheme, 50.0),
-        }
-        gbps_all.append(gbps)
-        ratios.append(gbps / REF_GBPS.get(scheme, 50.0))
-        print(f"[bench] {scheme:6s} {gbps:9.2f} GB/s decoded  (ratio {col.ratio:5.2f}x, "
-              f"HBM {touched / t:8.2f} GB/s, {t * 1e3:.3f} ms)", file=sys.stderr)
-    geo = math.exp(sum(math.log(g) for g in gbps_all) / len(gbps_all))
+    for scheme in schemes:
+        if args.no_subproc:
+            col, run = prepare_scheme(scheme, n, rng)
+            r = time_prepared(col, run, scheme, args.iters)
+        else:
+            r = _spawn_one(scheme, args)
+        detail["schemes"][scheme] = r
+        print(f"[bench] {scheme:8s} {r['decode_GBps']:9.2f} GB/s decoded  "
+              f"(ratio {r['ratio']:6.2f}x, HBM {r['hbm_touched_GBps']:8.2f} GB/s, "
+              f"{r['time_s'] * 1e3:.3f} ms)", file=sys.stderr)
+    if args.mixed:
+        r = bench_mixed(n, args.iters, rng) if args.no_subproc else _spawn_one("mixed", args)
+        detail["mixed"] = r
+        print(f"[bench] {'mixed':8s} {r['decode_GBps']:9.2f} GB/s decoded  "
+              f"(ratio {r['ratio']:6.2f}x, {r['time_s'] * 1e3:.3f} ms)", file=sys.stderr)
+    if args.dist:
+        r = bench_dist(n, args.iters, rng) if args.no_subproc else _spawn_one("dist", args)
+        detail["dist"] = r
+        print(f"[bench] {'dist':8s} {r['decode_GBps']:9.2f} GB/s decoded on "
+              f"{r['devices']} device(s)", file=sys.stderr)
+    head = [s for s in HEADLINE if s in detail["schemes"]] or list(detail["schemes"])
+    gbps = [detail["schemes"][s]["decode_GBps"] for s in head]
+    ratios = [detail["schemes"][s]["vs_ref"] for s in head]
+    geo = math.exp(sum(math.log(g) for g in gbps) / len(gbps))
     geo_ratio = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     outdir = pathlib.Path(__file__).parent / "results"
     outdir.mkdir(exist_ok=True)

@@ -9,7 +9,7 @@ Layers (SURVEY.md Â§2): util (L0) â†’ JAX runtime (L1) â†’ kernels.lanes (L2) â†
 kernels.* (L3) â†’ registry + api (L4) â†’ dist (L6, multi-host; new scope).
 """
 
-from .api import decode, decode_ref, encode, get_decoder
+from .api import decode, decode_columns, decode_ref, encode, get_decoder
 from .format import EncodedColumn, container_bytes, read_container, write_container
 from .registry import get, plan, schemes
 from .util import GROUP, LANES, SLOTS
@@ -23,6 +23,7 @@ __all__ = [
     "SLOTS",
     "container_bytes",
     "decode",
+    "decode_columns",
     "decode_ref",
     "encode",
     "get",

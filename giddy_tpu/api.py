@@ -16,6 +16,7 @@ import numpy as np
 
 from . import kernels as _kernels  # noqa: F401  (installs device decoders)
 from . import ref as _ref  # noqa: F401  (installs CPU codecs)
+from . import wide as _wide  # noqa: F401  (installs the 64-bit plane wrapper)
 from . import registry
 from .format import EncodedColumn
 from .util import GROUP, np_dtype, num_groups
@@ -51,15 +52,43 @@ def get_decoder(col: EncodedColumn):
 def device_streams(col: EncodedColumn) -> dict[str, jax.Array]:
     from .kernels.common import to_device_streams
 
-    return to_device_streams(col.streams)
+    prep = registry.get(col.scheme).prep_streams
+    streams = prep(col) if prep is not None else col.streams
+    return to_device_streams(streams)
 
 
-def decode(col: EncodedColumn, *, pad: bool = False) -> jax.Array:
+def decode(col: EncodedColumn, *, pad: bool = False):
     """Decode a column on the default device. Returns the logical-dtype
-    array of length n (or n_pad when pad=True, avoiding the final slice)."""
+    array of length n (or n_pad when pad=True, avoiding the final slice).
+    64-bit (``wide``) columns come back as NumPy (planes decode on-device,
+    the int64 recombine happens at the host boundary — see wide.py)."""
+    if col.scheme == "wide":
+        from . import wide
+
+        return wide.decode_device(col)
     u = get_decoder(col)(device_streams(col))
     out = _to_logical(u, col.dtype)
     return out if pad else out[: col.n]
+
+
+def decode_columns(cols: list[EncodedColumn], *, pad: bool = False) -> dict[str, jax.Array]:
+    """Decode a whole container worth of columns in one jitted program —
+    the mixed-column set of BASELINE configs[4]. XLA schedules the
+    independent column decodes back-to-back on-chip (one dispatch, no host
+    round-trips between columns)."""
+    decoders = [get_decoder(c) for c in cols]
+    streams = [device_streams(c) for c in cols]
+
+    @jax.jit
+    def run(streams_list):
+        return [d(s) for d, s in zip(decoders, streams_list)]
+
+    outs = run(streams)
+    result = {}
+    for c, u in zip(cols, outs):
+        o = _to_logical(u, c.dtype)
+        result[c.name] = o if pad else o[: c.n]
+    return result
 
 
 def _to_logical(u: jax.Array, dtype: str) -> jax.Array:

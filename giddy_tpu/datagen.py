@@ -50,4 +50,9 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
         return v
     if scheme == "raw":
         return rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+    if scheme == "wide":
+        # 64-bit epoch-nano timestamps: hi plane near-constant
+        return (
+            np.int64(1_700_000_000_000_000_000) + np.cumsum(rng.integers(0, 1000, n))
+        ).astype(np.int64)
     raise ValueError(scheme)

@@ -81,32 +81,30 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
     if scheme == "for":
         gpf = p["frame_len"] // GROUP
         refs_g = np.repeat(st["refs"], gpf)[:ng].reshape(ng, 1)
-        return local({"bits": p["bits"], "frame_len": GROUP}, {"packed": st["packed"], "refs": refs_g})
+        return local({"bits": p["bits"], "frame_len": GROUP}, {"packed": st["packed"], "refs_g": refs_g})
     if scheme == "model":
-        fl = p["frame_len"]
-        g = np.arange(ng, dtype=np.int64)
-        f = (g * GROUP) // fl
-        p0 = ((g * GROUP) % fl).astype(np.int64)
-        a = st["coef_a"].astype(np.int64)[f]
-        b = st["coef_b"].astype(np.int64)[f]
-        a_g = ((a + b * p0) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        from .kernels import model as k_model
+
+        pre = k_model.prep(col)  # host-expanded (ng,1) per-group coefficients
         return local(
             {"bits": p["bits"], "frame_len": GROUP, "kind": p["kind"]},
-            {"packed": st["packed"], "coef_a": a_g, "coef_b": st["coef_b"].astype(np.int64)[f].astype(np.int32)},
+            {"packed": pre["packed"], "a_g": pre["a_g"], "b_g": pre["b_g"]},
         )
     if scheme == "dict":
         return local(dict(p), {"codes": st["codes"]}, repl={"values": st["values"]})
     if scheme in ("rle", "rpe"):
+        from .kernels.rle import scatter_prep
+
         r_pad = p["r_pad"]
         key = "run_ends" if scheme == "rle" else "run_starts"
-        pad_fill = GROUP
         bounds = st[key].reshape(ng, r_pad)
         vals = st["run_values"].reshape(ng, r_pad)
         if ng != ng_pad:
-            bounds = np.concatenate([bounds, np.full((ng_pad - ng, r_pad), pad_fill, np.int32)])
+            bounds = np.concatenate([bounds, np.full((ng_pad - ng, r_pad), GROUP, np.int32)])
             vals = _pad_groups(vals, ng, ng_pad)
+        pre = scatter_prep(vals, bounds, positions=(scheme == "rpe"), ng_local=ng_l)
         df = local(dict(p), {}, repl={})
-        df.sharded = {"run_values": vals, key: bounds}
+        df.sharded = pre  # {"pos", "dv"}, both (ng_pad, r_pad)
         return df
     if scheme == "bitmap":
         d = p["d"]
@@ -204,3 +202,23 @@ def decode_sharded(col: EncodedColumn, mesh: Mesh | None = None, axis: str = "d"
     fn, args = build_sharded_decoder(col, mesh, axis)
     u = fn(*args)
     return _to_logical(u, col.dtype)[: col.n]
+
+
+def decode_columns_sharded(
+    cols: list[EncodedColumn], mesh: Mesh | None = None, axis: str = "d"
+) -> dict:
+    """Sharded decode of a whole mixed-column container (BASELINE
+    configs[4]) in one jitted program over the mesh."""
+    from .api import _to_logical
+
+    mesh = mesh or default_mesh(axis)
+    built = [build_sharded_decoder(c, mesh, axis) for c in cols]
+    fns = [f for f, _ in built]
+    args = [a for _, a in built]
+
+    @jax.jit
+    def run(args_list):
+        return [f(*a) for f, a in zip(fns, args_list)]
+
+    outs = run(args)
+    return {c.name: _to_logical(u, c.dtype)[: c.n] for c, u in zip(cols, outs)}

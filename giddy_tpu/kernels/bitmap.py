@@ -25,6 +25,19 @@ from .lanes import unpack_lanes
 def build(col: EncodedColumn):
     d = col.params["d"]
     ng = num_groups(col.n)
+    if d > 64:
+        # High cardinality: the whole d-plane block would not fit VMEM at
+        # the minimum 8-row tile; accumulate in XLA instead (still pure
+        # vector ops via the same unpack_lanes helper).
+        def decode_xla(streams):
+            bitmaps = streams["bitmaps"].reshape(d, ng, LANES)
+            values = streams["values"].reshape(d)
+            acc = unpack_lanes(bitmaps[0], 1) * values[0]
+            for dd in range(1, d):
+                acc += unpack_lanes(bitmaps[dd], 1) * values[dd]
+            return acc.reshape(ng * GROUP)
+
+        return decode_xla
     pl_plan = plan(ng * GROUP, 2 * 4 * (d * LANES + GROUP))
     r = pl_plan.groups_per_block
 

@@ -2,25 +2,33 @@
 
 The reference broadcasts the frame ref via shared memory / warp shuffle
 (libgiddy ``frame_of_reference.cuh``, SURVEY.md §3.1); here the per-group
-reference rides in as a (rows, 1) block and broadcasts over lanes for free.
+reference is expanded on the host (prep_streams — 4 bytes per 128 KiB of
+output) and rides in as a (rows, 1) block that broadcasts over lanes for
+free, fused into the unpack loop.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import registry
 from ..format import EncodedColumn
 from ..util import GROUP, LANES, num_groups
-from .common import block_spec, row_blocked_call
+from .common import row_blocked_call
 from .lanes import unpack_map_to
+
+
+def prep(col: EncodedColumn) -> dict:
+    gpf = col.params["frame_len"] // GROUP
+    ng = num_groups(col.n)
+    refs_g = np.repeat(col.streams["refs"], gpf)[:ng]
+    return {"packed": col.streams["packed"], "refs_g": refs_g.reshape(ng, 1)}
 
 
 def build(col: EncodedColumn):
     bits = col.params["bits"]
-    frame_len = col.params["frame_len"]
     ng = num_groups(col.n)
-    gpf = frame_len // GROUP  # groups per frame
 
     def kernel(in_ref, ref_ref, out_ref):
         # materialize the lane broadcast once, not per slot
@@ -30,12 +38,9 @@ def build(col: EncodedColumn):
     call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
 
     def decode(streams):
-        refs = streams["refs"]  # (nf,) uint32
-        per_group = jnp.repeat(refs, gpf, total_repeat_length=refs.shape[0] * gpf)
-        per_group = per_group[:ng].reshape(ng, 1)
-        return call(streams["packed"], per_group).reshape(ng * GROUP)
+        return call(streams["packed"], streams["refs_g"]).reshape(ng * GROUP)
 
     return decode
 
 
-registry.register_device("for", build)
+registry.register_device("for", build, prep)

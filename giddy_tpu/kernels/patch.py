@@ -11,13 +11,24 @@ dist driver).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import registry
 from ..format import EncodedColumn
 from ..util import GROUP, LANES, num_groups
 from . import delta as k_delta
 from .common import row_blocked_call
-from .lanes import unpack_lanes, unpack_to
+from .lanes import unpack_map_to, unpack_to
+
+
+def prep(col: EncodedColumn) -> dict:
+    streams = dict(col.streams)
+    if col.params["base_scheme"] == "for":
+        gpf = col.params["base_params"]["frame_len"] // GROUP
+        ng = num_groups(col.n)
+        refs_g = np.repeat(streams.pop("base_refs"), gpf)[:ng]
+        streams["base_refs_g"] = refs_g.reshape(ng, 1)
+    return streams
 
 
 def build(col: EncodedColumn):
@@ -29,17 +40,15 @@ def build(col: EncodedColumn):
     base_scheme = col.params["base_scheme"]
 
     if base_scheme == "for":
-        gpf = bp["frame_len"] // GROUP
 
         def kernel(in_ref, ref_ref, out_ref):
-            out_ref[:] = unpack_lanes(in_ref[:], bits) + ref_ref[:]
+            ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
+            unpack_map_to(out_ref, in_ref[:], bits, lambda v, i: v + ref)
 
         call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
 
         def base_decode(streams):
-            refs = streams["base_refs"]
-            per_group = jnp.repeat(refs, gpf, total_repeat_length=refs.shape[0] * gpf)
-            return call(streams["base_packed"], per_group[:ng].reshape(ng, 1)).reshape(ng * GROUP)
+            return call(streams["base_packed"], streams["base_refs_g"]).reshape(ng * GROUP)
 
     else:
 
@@ -81,4 +90,4 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("patched", build)
+registry.register_device("patched", build, prep)

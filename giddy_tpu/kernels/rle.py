@@ -42,32 +42,51 @@ def _cumsum_rows_call(ng: int):
     )
 
 
-def _build(col: EncodedColumn, *, positions: bool):
+def scatter_prep(run_values: "np.ndarray", bounds: "np.ndarray", *, positions: bool, ng_local: int | None = None) -> dict:
+    """Host-side: run tables -> (pos, dv) scatter pairs.
+
+    pos = shard-local flat position of each run start (padded runs land on
+    the sentinel GROUP, i.e. the next group's position 0 — harmless under
+    scatter-add since their value-jump dv is 0 by the padding rules).
+    dv = value jump at each start (uint32 wrap); cumsum(scatter(pos, dv))
+    reconstructs the column.
+    """
+    import numpy as np
+
+    ng, r_pad = bounds.shape
+    ng_local = ng if ng_local is None else ng_local
+    if positions:
+        starts = bounds.astype(np.int64)
+    else:
+        starts = np.concatenate(
+            [np.zeros((ng, 1), np.int64), bounds[:, :-1].astype(np.int64)], axis=1
+        )
+    vals = run_values.view(np.uint32)
+    prev = np.concatenate([np.zeros((ng, 1), np.uint32), vals[:, :-1]], axis=1)
+    dv = vals - prev
+    g_local = (np.arange(ng, dtype=np.int64) % ng_local).reshape(ng, 1)
+    pos = (g_local * GROUP + starts).astype(np.int32)
+    return {"pos": pos, "dv": dv}
+
+
+def _prep(col: EncodedColumn, *, positions: bool) -> dict:
     r_pad = col.params["r_pad"]
     ng = num_groups(col.n)
-    cumsum = _cumsum_rows_call(ng)
     key = "run_starts" if positions else "run_ends"
+    bounds = col.streams[key].reshape(ng, r_pad)
+    vals = col.streams["run_values"].reshape(ng, r_pad)
+    return scatter_prep(vals, bounds, positions=positions)
+
+
+def _build(col: EncodedColumn, *, positions: bool):
+    ng = num_groups(col.n)
+    cumsum = _cumsum_rows_call(ng)
 
     def decode(streams):
-        vals = streams["run_values"].reshape(ng, r_pad)
-        bounds = streams[key].reshape(ng, r_pad).astype(jnp.int32)
-        if positions:
-            starts = bounds
-        else:
-            # start of run r = end of run r-1; padded runs start at the
-            # sentinel GROUP (their value-jump is 0, so collisions with the
-            # next group's position 0 are harmless under scatter-add).
-            starts = jnp.concatenate(
-                [jnp.zeros((ng, 1), jnp.int32), bounds[:, :-1]], axis=1
-            )
-        # value jump at each run start (uint32 wrap); padded runs repeat the
-        # last real value -> jump 0 by construction (FORMAT §1.5).
-        prev = jnp.concatenate([jnp.zeros((ng, 1), vals.dtype), vals[:, :-1]], axis=1)
-        dv = vals - prev
-        gidx = jnp.arange(ng, dtype=jnp.int32).reshape(ng, 1)
-        pos = (gidx * GROUP + starts).reshape(-1)
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)
-        dense = dense.at[pos].add(dv.reshape(-1), mode="drop")
+        dense = dense.at[streams["pos"].astype(jnp.int32).reshape(-1)].add(
+            streams["dv"].reshape(-1), mode="drop"
+        )
         return cumsum(dense.reshape(ng, GROUP)).reshape(ng * GROUP)
 
     return decode
@@ -81,5 +100,5 @@ def build_rpe(col: EncodedColumn):
     return _build(col, positions=True)
 
 
-registry.register_device("rle", build_rle)
-registry.register_device("rpe", build_rpe)
+registry.register_device("rle", build_rle, lambda col: _prep(col, positions=False))
+registry.register_device("rpe", build_rpe, lambda col: _prep(col, positions=True))

@@ -37,6 +37,13 @@ class Codec:
     # column plus device arrays for its streams, returns a jax array of
     # n_pad elements (caller slices to n).
     decode_device: Callable[..., Any] | None = None
+    # Optional host-side stream transform run before device upload: derived
+    # per-group arrays (expanded frame refs, model coefficients) are cheap
+    # to compute on the host and expensive as XLA prologues (on some
+    # backends a trivial constant-gather prologue costs milliseconds of
+    # dispatch), so they are materialized here and cross the jit boundary
+    # as real arguments.
+    prep_streams: Callable[[Any], dict] | None = None
 
 
 _REGISTRY: dict[str, Codec] = {}
@@ -48,8 +55,9 @@ def register(scheme: str, encode: Callable[..., EncodedColumn], decode_ref: Call
     return codec
 
 
-def register_device(scheme: str, decode_device: Callable[..., Any]) -> None:
+def register_device(scheme: str, decode_device: Callable[..., Any], prep_streams: Callable[[Any], dict] | None = None) -> None:
     _REGISTRY[scheme].decode_device = decode_device
+    _REGISTRY[scheme].prep_streams = prep_streams
 
 
 def get(scheme: str) -> Codec:
@@ -88,18 +96,18 @@ def plan(n: int, bytes_per_group: int) -> Plan:
     """Pick groups-per-block so the working set fits the VMEM budget.
 
     ``bytes_per_group`` = total VMEM bytes one group needs (packed input
-    block + output block + scratch).
+    block + output block + scratch). Mosaic requires block dims divisible
+    by 8 (sublane tile) or equal to the array dim; grid*block may exceed
+    the array (Pallas masks the ragged tail), so gpb is a power of two
+    >= 8 — or the whole array when it is smaller than one tile row.
     """
     ng = num_groups(n)
     gpb = max(1, _VMEM_BUDGET // max(bytes_per_group, 1))
-    # Powers of two divide evenly more often and tile nicely.
-    while gpb & (gpb - 1):
+    while gpb & (gpb - 1):  # round down to a power of two
         gpb &= gpb - 1
-    gpb = min(gpb, ng)
-    # Prefer a block count that divides the group count to avoid a ragged
-    # tail block (Pallas pads; our pad groups decode to garbage we slice off,
-    # but an even split keeps every step identical).
-    while ng % gpb:
-        gpb //= 2
-    gpb = max(gpb, 1)
+    if ng <= max(gpb, 8):
+        # one block covering everything (block dim == array dim is exempt
+        # from the divisibility rule)
+        return Plan(n_groups=ng, groups_per_block=ng, grid=1)
+    gpb = max(gpb, 8)
     return Plan(n_groups=ng, groups_per_block=gpb, grid=cdiv(ng, gpb))

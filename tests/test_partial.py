@@ -1,0 +1,36 @@
+"""Random-access / resume decode: any group range independently
+(SURVEY.md §6 checkpoint/resume analog)."""
+
+import numpy as np
+import pytest
+
+import giddy_tpu as gt
+from giddy_tpu.datagen import gen_column
+from giddy_tpu.partial import decode_groups, decode_ref_groups
+from giddy_tpu.util import GROUP
+
+SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "raw", "patched"]
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_group_range_matches_full_decode(scheme):
+    rng = np.random.default_rng(21)
+    v = gen_column(scheme, 5 * GROUP + 77, rng)
+    col = gt.encode(v, scheme)
+    for g0, g1 in [(0, 1), (2, 4), (5, 6), (0, 6)]:
+        out = decode_groups(col, g0, g1)
+        np.testing.assert_array_equal(out, decode_ref_groups(col, g0, g1), err_msg=f"{scheme} [{g0},{g1})")
+
+
+def test_patched_compressed_range():
+    rng = np.random.default_rng(22)
+    v = gen_column("patched", 4 * GROUP, rng)
+    col = gt.encode(v, "patched", kind="compressed")
+    out = decode_groups(col, 1, 3)
+    np.testing.assert_array_equal(out, v[GROUP : 3 * GROUP])
+
+
+def test_bad_range_rejected():
+    col = gt.encode(np.zeros(GROUP, np.int32), "nbit")
+    with pytest.raises(ValueError):
+        decode_groups(col, 1, 1)
