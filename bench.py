@@ -73,14 +73,21 @@ def prepare_scheme(scheme: str, n: int, rng):
 
 
 def time_prepared(col, run, scheme: str, iters: int) -> dict:
+    from giddy_tpu.roofline import column_roofline
+
     t = _median_time(run, iters)
     touched = (col.nbytes_compressed + col.nbytes_decoded) / 1e9
+    rf = column_roofline(col)
     return {
         "decode_GBps": col.nbytes_decoded / 1e9 / t,
         "ratio": col.ratio,
         "hbm_touched_GBps": touched / t,
         "time_s": t,
         "vs_ref": col.nbytes_decoded / 1e9 / t / REF_GBPS.get(scheme, 50.0),
+        # SoL fraction vs the chip's published HBM BW (>=0.8 is the
+        # BASELINE target; indicative only on the axon tunnel)
+        "sol_fraction": rf.sol_fraction(t),
+        "sol_decode_GBps": rf.sol_decode_gbps,
     }
 
 

@@ -1,0 +1,63 @@
+"""Scheme advisor: pick the best scheme for a column by measuring.
+
+The reference leaves scheme choice to its DBMS caller (MonetDB decided
+per column — SURVEY.md §1); a standalone framework needs the capability
+in-house. Strategy: trial-encode a sample (or the whole column) with every
+candidate and rank by compressed size; ties break toward cheaper decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import registry
+from .format import EncodedColumn
+from .util import GROUP
+
+# Candidates in decode-cost order (cheapest first — the tiebreaker).
+CANDIDATES = ["rle", "dict", "bitmap", "nbit", "dzbf", "for", "delta", "model", "dzbv", "patched"]
+
+
+def suggest(
+    values: np.ndarray,
+    *,
+    candidates: list[str] | None = None,
+    sample_groups: int = 4,
+    rng: np.random.Generator | None = None,
+) -> list[tuple[str, float]]:
+    """Rank candidate schemes by estimated compression ratio on a sample.
+
+    Returns [(scheme, estimated_ratio)] best-first; schemes that cannot
+    encode the column (e.g. bitmap over a high-cardinality column would
+    explode) are skipped. Sampling uses whole GROUPs so run/frame shapes
+    survive.
+    """
+    values = np.asarray(values)
+    n = values.shape[0]
+    cands = candidates or CANDIDATES
+    if n > sample_groups * GROUP:
+        rng = rng or np.random.default_rng(0)
+        ng = n // GROUP
+        picks = np.sort(rng.choice(ng, sample_groups, replace=False))
+        sample = np.concatenate([values[g * GROUP : (g + 1) * GROUP] for g in picks])
+    else:
+        sample = values
+    results = []
+    for scheme in cands:
+        if scheme == "bitmap" and np.unique(sample).size > 64:
+            continue  # decode cost explodes with cardinality
+        try:
+            col = registry.get(scheme).encode(sample, name="_advise")
+        except Exception:
+            continue
+        results.append((scheme, col.nbytes_decoded / max(col.nbytes_compressed, 1)))
+    results.sort(key=lambda t: (-t[1], CANDIDATES.index(t[0]) if t[0] in CANDIDATES else 99))
+    return results
+
+
+def encode_best(values: np.ndarray, *, name: str = "col", **kw) -> EncodedColumn:
+    """Encode with the advisor's top pick (falls back to raw if nothing
+    beats 1.0x)."""
+    ranked = suggest(values, **kw)
+    best = ranked[0] if ranked and ranked[0][1] > 1.0 else ("raw", 1.0)
+    return registry.get(best[0]).encode(np.asarray(values), name=name)

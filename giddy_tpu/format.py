@@ -154,3 +154,14 @@ def container_bytes(columns: list[EncodedColumn]) -> bytes:
     bio = io.BytesIO()
     write_container(columns, bio)
     return bio.getvalue()
+
+
+def open_container(path: str) -> list[EncodedColumn]:
+    """Zero-copy container open: mmap the file; stream arrays are views
+    into the mapping (64-byte-aligned offsets, FORMAT.md §2), so nothing
+    is materialized until a stream is uploaded to a device."""
+    import mmap
+
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    return read_container(memoryview(mm))

@@ -1,0 +1,69 @@
+"""Roofline / speed-of-light accounting (SURVEY.md §6 tracing row,
+§8.3.5: agree the denominator early and bake it into the harness).
+
+SoL model: decode must read the compressed streams once and write the
+decoded column once; the floor time is ``bytes_touched / HBM_BW``. The
+BASELINE target is decoded-GB/s >= 80% of ``decoded_bytes / floor_time``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .format import EncodedColumn
+
+# Published per-chip HBM bandwidths (bytes/s). The axon-tunneled local
+# device reports non-physical timings (SURVEY.md §8.3a), so SoL% on it is
+# indicative only; the driver's v5p run is the judged number.
+HBM_BW = {
+    "v4": 1.2e12,
+    "v5e": 819e9,
+    "v5 lite": 819e9,
+    "v5p": 2.765e12,
+    "v6e": 1.64e12,
+    "default": 819e9,
+}
+
+
+def chip_bw(device_kind: str | None = None) -> float:
+    if device_kind is None:
+        import jax
+
+        device_kind = jax.devices()[0].device_kind
+    kind = (device_kind or "").lower()
+    for k, bw in HBM_BW.items():
+        if k in kind:
+            return bw
+    return HBM_BW["default"]
+
+
+@dataclasses.dataclass
+class Roofline:
+    decoded_bytes: int
+    compressed_bytes: int
+    hbm_bw: float
+
+    @property
+    def bytes_touched(self) -> int:
+        return self.decoded_bytes + self.compressed_bytes
+
+    @property
+    def floor_time_s(self) -> float:
+        return self.bytes_touched / self.hbm_bw
+
+    @property
+    def sol_decode_gbps(self) -> float:
+        """Decoded GB/s at speed of light."""
+        return self.decoded_bytes / 1e9 / self.floor_time_s
+
+    def sol_fraction(self, measured_time_s: float) -> float:
+        """Measured fraction of speed-of-light (the BASELINE >=0.8 target)."""
+        return self.floor_time_s / max(measured_time_s, 1e-12)
+
+
+def column_roofline(col: EncodedColumn, device_kind: str | None = None) -> Roofline:
+    return Roofline(
+        decoded_bytes=col.nbytes_decoded,
+        compressed_bytes=col.nbytes_compressed,
+        hbm_bw=chip_bw(device_kind),
+    )

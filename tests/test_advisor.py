@@ -1,0 +1,60 @@
+"""Scheme advisor + roofline + mmap container."""
+
+import numpy as np
+import pytest
+
+import giddy_tpu as gt
+from giddy_tpu.advisor import encode_best, suggest
+from giddy_tpu.datagen import gen_column
+from giddy_tpu.roofline import Roofline, chip_bw, column_roofline
+from giddy_tpu.util import GROUP
+
+
+def test_advisor_picks_rle_for_runs():
+    rng = np.random.default_rng(0)
+    v = gen_column("rle", 8 * GROUP, rng)
+    ranked = suggest(v)
+    assert ranked[0][0] in ("rle", "rpe"), ranked[:3]
+
+
+def test_advisor_picks_narrow_for_small_ints():
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 512, 4 * GROUP).astype(np.int32)
+    ranked = dict(suggest(v))
+    assert max(ranked.values()) >= 3.0  # ~32/9ish achievable
+
+
+def test_encode_best_roundtrip():
+    rng = np.random.default_rng(2)
+    v = gen_column("delta", 2 * GROUP + 7, rng)
+    col = encode_best(v)
+    assert col.ratio > 1.5
+    np.testing.assert_array_equal(gt.decode_ref(col), v)
+
+
+def test_encode_best_falls_back_to_raw():
+    rng = np.random.default_rng(3)
+    v = rng.integers(-(2**31), 2**31 - 1, GROUP, dtype=np.int64).astype(np.int32)
+    col = encode_best(v)
+    np.testing.assert_array_equal(gt.decode_ref(col), v)
+
+
+def test_roofline_math():
+    rf = Roofline(decoded_bytes=1_000_000_000, compressed_bytes=250_000_000, hbm_bw=1e12)
+    assert rf.floor_time_s == pytest.approx(1.25e-3)
+    assert rf.sol_decode_gbps == pytest.approx(800.0)
+    assert rf.sol_fraction(2.5e-3) == pytest.approx(0.5)
+    assert chip_bw("TPU v5p chip") == pytest.approx(2.765e12)
+    assert chip_bw("TPU v5 lite") == pytest.approx(819e9)
+
+
+def test_open_container_mmap(tmp_path):
+    rng = np.random.default_rng(4)
+    col = gt.encode(gen_column("nbit", GROUP + 3, rng), "nbit", name="m")
+    p = tmp_path / "c.gtp"
+    with open(p, "wb") as f:
+        gt.write_container([col], f)
+    from giddy_tpu.format import open_container
+
+    back = open_container(str(p))[0]
+    np.testing.assert_array_equal(gt.decode_ref(back), gt.decode_ref(col))
