@@ -68,6 +68,20 @@ def main() -> None:
     col = gt.encode(v, "patched", kind="compressed")
     np.testing.assert_array_equal(np.asarray(decode_sharded(col)), gt.decode_ref(col))
     print("[dist] patched-compressed: ok", flush=True)
+    # simulated shard failure -> idempotent re-decode of its group range
+    # (SURVEY.md §6 failure-detection row: recovery = rerun the block)
+    v = gen_column("delta", 16 * GROUP, rng)
+    col = gt.encode(v, "delta")
+    full = np.asarray(decode_sharded(col)).copy()
+    failed_shard = 3
+    ng_l = 2  # 16 groups over 8 devices
+    lo, hi = failed_shard * ng_l, (failed_shard + 1) * ng_l
+    full[lo * GROUP : hi * GROUP] = -1  # pretend the shard's output was lost
+    from giddy_tpu.partial import decode_groups
+
+    full[lo * GROUP : hi * GROUP] = decode_groups(col, lo, hi)
+    np.testing.assert_array_equal(full, gt.decode_ref(col))
+    print("[dist] shard-failure-recovery: ok", flush=True)
     print("ALL DIST CHECKS PASSED", flush=True)
 
 

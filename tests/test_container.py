@@ -44,7 +44,23 @@ def test_stream_alignment():
             assert m["offset"] % 64 == 0
 
 
-@pytest.mark.parametrize("scheme,digest_name", [("nbit", "nbit_9bit"), ("delta", "delta_ts")])
+@pytest.mark.parametrize(
+    "scheme,digest_name",
+    [
+        ("nbit", "nbit_9bit"),
+        ("delta", "delta_ts"),
+        ("for", "for_ts"),
+        ("dict", "dict_lowcard"),
+        ("rle", "rle_flags"),
+        ("rpe", "rpe_flags"),
+        ("model", "model_linear"),
+        ("bitmap", "bitmap_4"),
+        ("dzbf", "dzbf_2b"),
+        ("dzbv", "dzbv_mixed"),
+        ("patched", "patched_for"),
+        ("raw", "raw_rand"),
+    ],
+)
 def test_golden_format_frozen(scheme, digest_name):
     """Canonical encodes must byte-match the checked-in golden digests."""
     rng = np.random.default_rng(20260817)
