@@ -195,10 +195,18 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
 
 
 def decode_sharded(col: EncodedColumn, mesh: Mesh | None = None, axis: str = "d"):
-    """One-call sharded decode; returns logical-dtype array of length n."""
+    """One-call sharded decode; returns logical-dtype array of length n
+    (NumPy for 64-bit ``wide`` columns — planes decode sharded, the int64
+    recombine happens at the host boundary)."""
     from .api import _to_logical
 
     mesh = mesh or default_mesh(axis)
+    if col.scheme == "wide":
+        from . import wide
+
+        lo = np.asarray(decode_sharded(wide._sub(col, "lo"), mesh, axis))
+        hi = np.asarray(decode_sharded(wide._sub(col, "hi"), mesh, axis))
+        return wide._combine(lo.view(np.uint32), hi.view(np.uint32), col.dtype)
     fn, args = build_sharded_decoder(col, mesh, axis)
     u = fn(*args)
     return _to_logical(u, col.dtype)[: col.n]

@@ -1,0 +1,81 @@
+"""Streaming decode: overlap host->device feeding with on-chip decode.
+
+The reference's headline scenario is decode outrunning the host link
+(PCIe there, the host->HBM DMA here): it overlaps the H2D copy of chunk
+k+1 with the decode of chunk k using CUDA streams (SURVEY.md §3.11
+pipeline row). JAX's async dispatch gives the same overlap for free —
+``device_put`` and the jitted decode are both non-blocking — so streaming
+a column is: slice group-chunks (partial.slice_groups keeps every scheme
+self-contained), enqueue upload+decode per chunk, and only synchronize at
+the consumer.
+
+Because chunks of equal group count share one jit specialization, the
+whole stream compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from . import registry
+from .format import EncodedColumn
+from .partial import slice_groups
+from .util import GROUP, cdiv, num_groups
+
+
+def stream_decode(
+    col: EncodedColumn, *, chunk_groups: int = 64, to_host: bool = False
+) -> Iterator[np.ndarray | jax.Array]:
+    """Yield decoded chunks of ``chunk_groups`` GROUPs each, in order.
+
+    Uploads and decodes are enqueued ahead (async dispatch) so the device
+    decodes chunk k while chunk k+1 is still crossing the link. With
+    ``to_host`` the chunks come back as NumPy (synchronizing per chunk);
+    otherwise they are device arrays the caller may keep sharded/resident.
+    """
+    from .api import _to_logical
+    from .kernels.common import to_device_streams
+
+    ng = num_groups(col.n)
+    decoder = None
+    pending: list[tuple[jax.Array, int]] = []
+    depth = 2  # chunks in flight
+    for c0 in range(0, ng, chunk_groups):
+        c1 = min(c0 + chunk_groups, ng)
+        sub = slice_groups(col, c0, c1)
+        if sub.scheme == "_patched_slice":
+            # patched columns: decode base chunk, apply its local patches
+            from . import partial as _partial
+
+            out = _partial.decode_groups(col, c0, c1)
+            yield out if to_host else jax.numpy.asarray(out)
+            continue
+        if decoder is None or c1 - c0 != chunk_groups:
+            builder = registry.get(sub.scheme).decode_device
+            fn = jax.jit(builder(sub))
+            if c1 - c0 == chunk_groups:
+                decoder = fn
+        else:
+            fn = decoder
+        u = fn(to_device_streams(sub.streams))  # enqueued, not awaited
+        pending.append((u, sub.n))
+        if len(pending) > depth:
+            yield _emit(pending.pop(0), col.dtype, to_host)
+    while pending:
+        yield _emit(pending.pop(0), col.dtype, to_host)
+
+
+def _emit(item, dtype: str, to_host: bool):
+    from .api import _to_logical
+
+    u, n = item
+    out = _to_logical(u, dtype)[:n]
+    return np.asarray(out) if to_host else out
+
+
+def decode_streamed(col: EncodedColumn, *, chunk_groups: int = 64) -> np.ndarray:
+    """Convenience: stream the whole column back to host, concatenated."""
+    return np.concatenate(list(stream_decode(col, chunk_groups=chunk_groups, to_host=True)))

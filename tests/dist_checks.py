@@ -82,6 +82,11 @@ def main() -> None:
     full[lo * GROUP : hi * GROUP] = decode_groups(col, lo, hi)
     np.testing.assert_array_equal(full, gt.decode_ref(col))
     print("[dist] shard-failure-recovery: ok", flush=True)
+    # wide (64-bit) columns: both planes sharded, host recombine
+    v64 = gen_column("wide", 16 * GROUP, rng)
+    wcol = gt.encode(v64, "wide", base_scheme="delta")
+    np.testing.assert_array_equal(decode_sharded(wcol), v64)
+    print("[dist] wide-64bit: ok", flush=True)
     print("ALL DIST CHECKS PASSED", flush=True)
 
 
