@@ -8,10 +8,7 @@ name→instantiated-kernel factory.
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import kernels as _kernels  # noqa: F401  (installs device decoders)
@@ -19,7 +16,7 @@ from . import ref as _ref  # noqa: F401  (installs CPU codecs)
 from . import wide as _wide  # noqa: F401  (installs the 64-bit plane wrapper)
 from . import registry
 from .format import EncodedColumn
-from .util import GROUP, np_dtype, num_groups
+from .util import np_dtype
 
 _DECODER_CACHE: dict[tuple, object] = {}
 

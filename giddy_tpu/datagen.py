@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .util import GROUP
-
 
 def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = False) -> np.ndarray:
     """Data a given scheme compresses well (or, hard=True, adversarially)."""

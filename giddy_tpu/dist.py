@@ -16,7 +16,6 @@ broadcast.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +31,17 @@ from .util import GROUP, LANES, cdiv, num_groups
 def default_mesh(axis: str = "d", devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def host_chip_mesh(n_hosts: int, chips_per_host: int, devices=None) -> tuple[Mesh, tuple]:
+    """2D (hosts, chips) mesh + the axis tuple to shard groups over both
+    (decode is pure DP, so the group dim shards over the flattened mesh;
+    keeping the axes separate lets callers route replicated-stream
+    broadcasts host-locally over ICI first). Pass axis=('h','c') to the
+    sharded decoders."""
+    devices = devices if devices is not None else jax.devices()
+    grid = np.asarray(devices).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, ("h", "c")), ("h", "c")
 
 
 @dataclasses.dataclass
@@ -127,10 +137,10 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
     raise NotImplementedError(f"dist decode for scheme {scheme!r}")
 
 
-def _spec_for(arr: np.ndarray, axis: str, axis1: bool) -> P:
+def _spec_for(arr: np.ndarray, axis, axis1: bool) -> P:
     shard_dim = 1 if axis1 else 0
     dims = [None] * arr.ndim
-    dims[shard_dim] = axis
+    dims[shard_dim] = axis  # str, or tuple of axes (2D host x chip mesh)
     return P(*dims)
 
 

@@ -17,7 +17,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..registry import Plan, plan
-from ..util import GROUP, LANES
+from ..util import GROUP
 
 
 @functools.cache

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .. import registry
 from ..format import EncodedColumn
 from ..registry import plan
 from ..util import GROUP, LANES, SLOTS, num_groups

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .util import GROUP, LANES, num_groups
 from .ref.lmp import lmp_pack, lmp_unpack
 
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kernels.rle import _cumsum_rows_call
-from .util import GROUP, cdiv, num_groups
+from .util import GROUP, num_groups
 
 
 def group_prefix_sum(x, *, exclusive: bool = False):

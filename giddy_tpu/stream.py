@@ -23,7 +23,7 @@ import numpy as np
 from . import registry
 from .format import EncodedColumn
 from .partial import slice_groups
-from .util import GROUP, cdiv, num_groups
+from .util import num_groups
 
 
 def stream_decode(

@@ -87,6 +87,15 @@ def main() -> None:
     wcol = gt.encode(v64, "wide", base_scheme="delta")
     np.testing.assert_array_equal(decode_sharded(wcol), v64)
     print("[dist] wide-64bit: ok", flush=True)
+    # 2D (hosts x chips) mesh: groups shard over both axes
+    from giddy_tpu.dist import host_chip_mesh
+
+    mesh2, axes = host_chip_mesh(4, 2)
+    v = gen_column("delta", 16 * GROUP, rng)
+    col = gt.encode(v, "delta")
+    out = np.asarray(decode_sharded(col, mesh2, axes))
+    np.testing.assert_array_equal(out, gt.decode_ref(col))
+    print("[dist] host-chip-2d-mesh: ok", flush=True)
     print("ALL DIST CHECKS PASSED", flush=True)
 
 
