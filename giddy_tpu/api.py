@@ -62,24 +62,33 @@ def decode(col: EncodedColumn, *, pad: bool = False):
     if col.scheme == "wide":
         from . import wide
 
-        return wide.decode_device(col)
+        return wide.decode_device(col, pad=pad)
     u = get_decoder(col)(device_streams(col))
     out = _to_logical(u, col.dtype)
     return out if pad else out[: col.n]
+
+
+_COLUMNS_CACHE: dict[tuple, object] = {}
 
 
 def decode_columns(cols: list[EncodedColumn], *, pad: bool = False) -> dict[str, jax.Array]:
     """Decode a whole container worth of columns in one jitted program —
     the mixed-column set of BASELINE configs[4]. XLA schedules the
     independent column decodes back-to-back on-chip (one dispatch, no host
-    round-trips between columns)."""
-    decoders = [get_decoder(c) for c in cols]
+    round-trips between columns). The combined program is cached on the
+    tuple of column static keys, so repeated container decodes dispatch
+    without retracing."""
+    key = tuple(c.static_key() for c in cols)
+    run = _COLUMNS_CACHE.get(key)
+    if run is None:
+        decoders = [get_decoder(c) for c in cols]
+
+        @jax.jit
+        def run(streams_list):
+            return [d(s) for d, s in zip(decoders, streams_list)]
+
+        _COLUMNS_CACHE[key] = run
     streams = [device_streams(c) for c in cols]
-
-    @jax.jit
-    def run(streams_list):
-        return [d(s) for d, s in zip(decoders, streams_list)]
-
     outs = run(streams)
     result = {}
     for c, u in zip(cols, outs):

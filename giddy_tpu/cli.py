@@ -97,9 +97,14 @@ def cmd_bench(args) -> None:
     import importlib.util
     import pathlib
 
-    spec = importlib.util.spec_from_file_location(
-        "giddy_bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
-    )
+    path = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    if not path.exists():
+        sys.exit(
+            "giddy-tpu bench needs the repository checkout (bench.py lives at "
+            "the repo root and is not shipped in the wheel); run it from a "
+            "clone, or use the library API with giddy_tpu.roofline directly."
+        )
+    spec = importlib.util.spec_from_file_location("giddy_bench", path)
     mod = importlib.util.module_from_spec(spec)
     sys.argv = ["bench.py", "--n", str(args.n), "--iters", str(args.iters),
                 "--schemes", args.schemes]

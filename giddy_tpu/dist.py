@@ -80,7 +80,17 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
             name=col.name, scheme=kw.pop("scheme", scheme), dtype=col.dtype,
             n=ng_l * GROUP, params=params, streams={},
         )
-        return DistForm(local_col=lc, sharded={k: _pad_groups(v, ng, ng_pad) for k, v in streams.items()}, replicated=repl or {}, ng=ng, **kw)
+        axis1 = kw.get("bitmap_axis1", False)
+        return DistForm(
+            local_col=lc,
+            sharded={
+                k: _pad_groups(v, ng, ng_pad, axis=1 if (axis1 and k == "bitmaps") else 0)
+                for k, v in streams.items()
+            },
+            replicated=repl or {},
+            ng=ng,
+            **kw,
+        )
 
     if scheme in ("nbit", "dzbf"):
         return local(dict(p), {"packed": st["packed"]})
@@ -167,11 +177,17 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
     )
 
     patch = df.patch_params
+    has_patch = bool(patch and patch["count"])
+    # Patch streams travel as trailing ARGUMENTS, never closure captures —
+    # the combined-program cache in decode_columns_sharded relies on every
+    # piece of data flowing through the argument list.
+    pnames = sorted(df.patch_streams) if has_patch else []
+    n_main = len(names)
 
     def full(*arrays):
-        u = fn(*arrays).reshape(-1)
-        if patch and patch["count"]:
-            ps = to_device_streams(df.patch_streams)
+        u = fn(*arrays[:n_main]).reshape(-1)
+        if has_patch:
+            ps = dict(zip(pnames, arrays[n_main:]))
             if patch["kind"] == "naive":
                 pos = ps["patch_pos"].astype(jnp.int32)
             else:
@@ -191,16 +207,17 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
 
     # Place inputs with their target shardings (replicated streams broadcast
     # once here — the column's only communication).
+    def _u32(a):
+        return a.view(np.uint32) if a.dtype == np.int32 else a
+
     args = []
     for k in sorted(df.sharded):
         spec = _spec_for(df.sharded[k], axis, df.bitmap_axis1 and k == "bitmaps")
-        a = df.sharded[k]
-        a = a.view(np.uint32) if a.dtype == np.int32 else a
-        args.append(jax.device_put(a, NamedSharding(mesh, spec)))
+        args.append(jax.device_put(_u32(df.sharded[k]), NamedSharding(mesh, spec)))
     for k in sorted(df.replicated):
-        a = df.replicated[k]
-        a = a.view(np.uint32) if a.dtype == np.int32 else a
-        args.append(jax.device_put(a, NamedSharding(mesh, P())))
+        args.append(jax.device_put(_u32(df.replicated[k]), NamedSharding(mesh, P())))
+    for k in pnames:
+        args.append(jax.device_put(_u32(df.patch_streams[k]), NamedSharding(mesh, P())))
     return jfn, args
 
 
@@ -222,21 +239,34 @@ def decode_sharded(col: EncodedColumn, mesh: Mesh | None = None, axis: str = "d"
     return _to_logical(u, col.dtype)[: col.n]
 
 
+_SHARDED_COLUMNS_CACHE: dict[tuple, object] = {}
+
+
 def decode_columns_sharded(
     cols: list[EncodedColumn], mesh: Mesh | None = None, axis: str = "d"
 ) -> dict:
     """Sharded decode of a whole mixed-column container (BASELINE
-    configs[4]) in one jitted program over the mesh."""
+    configs[4]) in one jitted program over the mesh. The combined program
+    is cached per (columns, mesh) configuration."""
     from .api import _to_logical
 
     mesh = mesh or default_mesh(axis)
     built = [build_sharded_decoder(c, mesh, axis) for c in cols]
     fns = [f for f, _ in built]
     args = [a for _, a in built]
+    key = (
+        tuple(c.static_key() for c in cols),
+        tuple(mesh.axis_names),
+        mesh.devices.shape,
+        axis if isinstance(axis, str) else tuple(axis),
+    )
+    run = _SHARDED_COLUMNS_CACHE.get(key)
+    if run is None:
 
-    @jax.jit
-    def run(args_list):
-        return [f(*a) for f, a in zip(fns, args_list)]
+        @jax.jit
+        def run(args_list):
+            return [f(*a) for f, a in zip(fns, args_list)]
 
+        _SHARDED_COLUMNS_CACHE[key] = run
     outs = run(args)
     return {c.name: _to_logical(u, c.dtype)[: c.n] for c, u in zip(cols, outs)}

@@ -25,6 +25,8 @@ from .lanes import unpack_lanes
 def build(col: EncodedColumn):
     d = col.params["d"]
     ng = num_groups(col.n)
+    if d == 0:  # empty column
+        return lambda streams: jnp.zeros((ng * GROUP,), jnp.uint32)
     if d > 64:
         # High cardinality: the whole d-plane block would not fit VMEM at
         # the minimum 8-row tile; accumulate in XLA instead (still pure

@@ -40,7 +40,8 @@ def bitmap_to_indices(bits: jax.Array, max_count: int) -> tuple[jax.Array, jax.A
     count = jnp.sum(mask.astype(jnp.int32))
     pos = jnp.arange(n, dtype=jnp.int32)
     idx = jnp.full((max_count,), n, dtype=jnp.int32)
-    idx = idx.at[jnp.where(mask, rank, max_count - 1)].set(
+    # non-set positions scatter to index max_count — out of bounds, dropped
+    idx = idx.at[jnp.where(mask, rank, max_count)].set(
         jnp.where(mask, pos, n), mode="drop"
     )
     return idx, count

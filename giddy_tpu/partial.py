@@ -8,104 +8,120 @@ API: ``decode_groups(col, g0, g1)`` decodes elements [g0*GROUP, g1*GROUP)
 only, touching only those groups' bytes. It reuses the per-group stream
 rewrite that the mesh driver uses (dist.dist_form), so every scheme the
 mesh supports gets random access for free.
+
+``GroupSlicer`` amortizes the rewrite: the dist-form (and, for patched
+columns, the decoded exception positions) is computed once per column and
+then sliced per range — the streaming pipeline slices hundreds of chunks
+from one column.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import registry
 from .dist import dist_form
 from .format import EncodedColumn
 from .util import GROUP, num_groups
 
 
-def slice_groups(col: EncodedColumn, g0: int, g1: int) -> EncodedColumn:
-    """A self-contained column decoding exactly groups [g0, g1)."""
-    ng = num_groups(col.n)
-    if not (0 <= g0 < g1 <= ng):
-        raise ValueError(f"group range [{g0},{g1}) out of [0,{ng})")
-    df = dist_form(col, 1)
-    streams: dict[str, np.ndarray] = {}
-    for k, v in df.sharded.items():
-        streams[k] = v[:, g0:g1] if df.bitmap_axis1 and k == "bitmaps" else v[g0:g1]
-    if "pos" in streams:  # rle/rpe scatter positions are group-local flats
-        streams["pos"] = streams["pos"] - np.int32(g0 * GROUP)
-    streams.update(df.replicated)
-    sub = EncodedColumn(
-        name=f"{col.name}[{g0}:{g1}]",
-        scheme=df.local_col.scheme,
-        dtype=col.dtype,
-        n=(g1 - g0) * GROUP if g1 < ng else col.n - g0 * GROUP,
-        params=df.local_col.params,
-        streams=streams,
-    )
-    if df.patch_params and df.patch_params["count"]:
-        _attach_patches(sub, df, col, g0, g1)
-    return sub
+class GroupSlicer:
+    """Per-column cache of the dist-form rewrite; slices group ranges."""
 
+    def __init__(self, col: EncodedColumn):
+        self.col = col
+        self.ng = num_groups(col.n)
+        self.df = dist_form(col, 1)
+        self._pos = self._val = None
+        if self.df.patch_params and self.df.patch_params["count"]:
+            self._pos, self._val = self._decode_patches_once()
 
-def _attach_patches(sub: EncodedColumn, df, col: EncodedColumn, g0: int, g1: int) -> None:
-    """Filter the (global) exception streams down to the range and rebase
-    positions; stored naive (positions are already decoded host-side)."""
-    ps = df.patch_streams
-    if df.patch_params["kind"] == "naive":
-        pos = ps["patch_pos"].astype(np.int64)
-    else:
-        from .ref import delta as ref_delta
+    def _decode_patches_once(self):
+        ps, pp = self.df.patch_streams, self.df.patch_params
+        if pp["kind"] == "naive":
+            pos = ps["patch_pos"].astype(np.int64)
+        else:
+            from .ref import delta as ref_delta
 
-        pcol = EncodedColumn(
-            name="_ppos", scheme="delta", dtype="int32", n=df.patch_params["count"],
-            params={"bits": df.patch_params["ppos_bits"]},
-            streams={"packed": ps["ppos_packed"], "anchors": ps["ppos_anchors"]},
+            pcol = EncodedColumn(
+                name="_ppos", scheme="delta", dtype="int32", n=pp["count"],
+                params={"bits": pp["ppos_bits"]},
+                streams={"packed": ps["ppos_packed"], "anchors": ps["ppos_anchors"]},
+            )
+            pos = ref_delta.decode(pcol).astype(np.int64)
+        return pos, ps["patch_val"]
+
+    def slice(self, g0: int, g1: int) -> EncodedColumn:
+        """A self-contained column decoding exactly groups [g0, g1)."""
+        if not (0 <= g0 < g1 <= self.ng):
+            raise ValueError(f"group range [{g0},{g1}) out of [0,{self.ng})")
+        df, col = self.df, self.col
+        streams: dict[str, np.ndarray] = {}
+        for k, v in df.sharded.items():
+            streams[k] = v[:, g0:g1] if df.bitmap_axis1 and k == "bitmaps" else v[g0:g1]
+        if "pos" in streams:  # rle/rpe scatter positions are group-local flats
+            streams["pos"] = streams["pos"] - np.int32(g0 * GROUP)
+        streams.update(df.replicated)
+        sub = EncodedColumn(
+            name=f"{col.name}[{g0}:{g1}]",
+            scheme=df.local_col.scheme,
+            dtype=col.dtype,
+            n=(g1 - g0) * GROUP if g1 < self.ng else col.n - g0 * GROUP,
+            params=df.local_col.params,
+            streams=streams,
         )
-        pos = ref_delta.decode(pcol).astype(np.int64)
-    lo, hi = g0 * GROUP, g1 * GROUP
-    m = (pos >= lo) & (pos < hi)
-    sub.scheme = "_patched_slice"
-    sub.params = {
-        "base_scheme": df.local_col.scheme,
-        "base_params": df.local_col.params,
-        "kind": "naive",
-        "count": int(m.sum()),
-    }
-    sub.streams = {f"base_{k}": v for k, v in sub.streams.items()}
-    sub.streams["patch_pos"] = (pos[m] - lo).astype(np.int32)
-    sub.streams["patch_val"] = ps["patch_val"][m]
+        if self._pos is not None:
+            lo, hi = g0 * GROUP, g1 * GROUP
+            m = (self._pos >= lo) & (self._pos < hi)
+            sub.scheme = "_patched_slice"
+            sub.params = {
+                "base_scheme": df.local_col.scheme,
+                "base_params": df.local_col.params,
+                "kind": "naive",
+                "count": int(m.sum()),
+            }
+            sub.streams = {f"base_{k}": v for k, v in sub.streams.items()}
+            sub.streams["patch_pos"] = (self._pos[m] - lo).astype(np.int32)
+            sub.streams["patch_val"] = self._val[m]
+        return sub
+
+    def decode(self, g0: int, g1: int) -> np.ndarray:
+        """Device-decode groups [g0, g1) -> logical values for elements
+        [g0*GROUP, min(g1*GROUP, n)). Equal-width ranges share one jitted
+        decoder via the api decoder cache."""
+        import jax.numpy as jnp
+
+        from .api import _to_logical, get_decoder
+        from .kernels.common import to_device_streams
+
+        sub = self.slice(g0, g1)
+        if sub.scheme == "_patched_slice":
+            base = EncodedColumn(
+                name=f"{self.col.name}.base[{g0}:{g1}]",
+                scheme=sub.params["base_scheme"], dtype=sub.dtype, n=sub.n,
+                params=sub.params["base_params"],
+                streams={k[len("base_"):]: v for k, v in sub.streams.items() if k.startswith("base_")},
+            )
+            u = get_decoder(base)(to_device_streams(base.streams))
+            if sub.params["count"]:
+                u = u.at[jnp.asarray(sub.streams["patch_pos"])].set(
+                    jnp.asarray(sub.streams["patch_val"].view(np.uint32))
+                )
+            return np.asarray(_to_logical(u, self.col.dtype)[: sub.n])
+        u = get_decoder(sub)(to_device_streams(sub.streams))
+        return np.asarray(_to_logical(u, self.col.dtype)[: sub.n])
+
+
+def slice_groups(col: EncodedColumn, g0: int, g1: int) -> EncodedColumn:
+    return GroupSlicer(col).slice(g0, g1)
 
 
 def decode_groups(col: EncodedColumn, g0: int, g1: int) -> np.ndarray:
-    """Device-decode groups [g0, g1); returns the logical values for
-    elements [g0*GROUP, min(g1*GROUP, n))."""
-    import jax
-
-    from .api import _to_logical
-    from .kernels.common import to_device_streams as device_streams  # streams
-    # are already in dist-form (prep hooks must NOT re-run on them)
-
-    sub = slice_groups(col, g0, g1)
-    if sub.scheme == "_patched_slice":
-        # base decode + host-filtered naive patches
-        base = EncodedColumn(
-            name=sub.name, scheme=sub.params["base_scheme"], dtype=sub.dtype,
-            n=sub.n, params=sub.params["base_params"],
-            streams={k[len("base_"):]: v for k, v in sub.streams.items() if k.startswith("base_")},
-        )
-        builder = registry.get(base.scheme).decode_device
-        u = jax.jit(builder(base))(device_streams(base.streams))
-        if sub.params["count"]:
-            import jax.numpy as jnp
-
-            u = u.at[jnp.asarray(sub.streams["patch_pos"])].set(
-                jnp.asarray(sub.streams["patch_val"].view(np.uint32))
-            )
-        return np.asarray(_to_logical(u, col.dtype)[: sub.n])
-    builder = registry.get(sub.scheme).decode_device
-    u = jax.jit(builder(sub))(device_streams(sub.streams))
-    return np.asarray(_to_logical(u, col.dtype)[: sub.n])
+    return GroupSlicer(col).decode(g0, g1)
 
 
 def decode_ref_groups(col: EncodedColumn, g0: int, g1: int) -> np.ndarray:
     """Oracle twin of decode_groups (full decode then slice)."""
+    from . import registry
+
     full = registry.get(col.scheme).decode_ref(col)
     return full[g0 * GROUP : min(g1 * GROUP, col.n)]

@@ -29,6 +29,12 @@ def encode(values: np.ndarray, *, name: str = "col") -> EncodedColumn:
     ng = num_groups(n)
     codes_pad = np.full(ng * GROUP, pad_code, dtype=np.int64)
     codes_pad[:n] = codes
+    if d == 0:  # empty column: no planes, decode yields nothing
+        return EncodedColumn(
+            name=name, scheme="bitmap", dtype=str(values.dtype), n=0,
+            params={"d": 0},
+            streams={"bitmaps": np.zeros((0, ng * LANES), np.uint32), "values": np.zeros(0, np.int32)},
+        )
     planes = [lmp_pack((codes_pad == dd).astype(np.uint32), 1) for dd in range(d)]
     return EncodedColumn(
         name=name,

@@ -30,7 +30,7 @@ def encode(
         dictionary = np.asarray(dictionary, dtype=values.dtype)
         sorter = np.argsort(dictionary, kind="stable")
         pos = np.searchsorted(dictionary, values, sorter=sorter)
-        codes = sorter[pos]
+        codes = sorter[np.minimum(pos, dictionary.shape[0] - 1)]
         if not np.array_equal(dictionary[codes], values):
             raise ValueError("values contain entries missing from dictionary")
     d = int(dictionary.shape[0])

@@ -41,7 +41,8 @@ def group_reduce(x, op: str = "sum"):
     ng = num_groups(n)
     pad = ng * GROUP - n
     if pad:
-        fill = {"sum": 0, "max": np.iinfo(np.int32).min, "min": np.iinfo(np.int32).max}[op]
+        info = np.iinfo(np.dtype(str(x.dtype)))
+        fill = {"sum": 0, "max": info.min, "min": info.max}[op]
         x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
     x = x.reshape(ng, GROUP)
     return {"sum": jnp.sum, "max": jnp.max, "min": jnp.min}[op](x, axis=1)

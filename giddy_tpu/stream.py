@@ -5,12 +5,12 @@ The reference's headline scenario is decode outrunning the host link
 k+1 with the decode of chunk k using CUDA streams (SURVEY.md §3.11
 pipeline row). JAX's async dispatch gives the same overlap for free —
 ``device_put`` and the jitted decode are both non-blocking — so streaming
-a column is: slice group-chunks (partial.slice_groups keeps every scheme
-self-contained), enqueue upload+decode per chunk, and only synchronize at
-the consumer.
+a column is: slice group-chunks (partial.GroupSlicer keeps every scheme
+self-contained and amortizes the per-column rewrite), enqueue
+upload+decode per chunk, and only synchronize at the consumer.
 
-Because chunks of equal group count share one jit specialization, the
-whole stream compiles once.
+Equal-size chunks share one jit specialization via the decoder cache, so
+the whole stream compiles twice at most (body + ragged tail).
 """
 
 from __future__ import annotations
@@ -20,9 +20,8 @@ from typing import Iterator
 import jax
 import numpy as np
 
-from . import registry
 from .format import EncodedColumn
-from .partial import slice_groups
+from .partial import GroupSlicer
 from .util import num_groups
 
 
@@ -34,33 +33,25 @@ def stream_decode(
     Uploads and decodes are enqueued ahead (async dispatch) so the device
     decodes chunk k while chunk k+1 is still crossing the link. With
     ``to_host`` the chunks come back as NumPy (synchronizing per chunk);
-    otherwise they are device arrays the caller may keep sharded/resident.
+    otherwise they are device arrays the caller may keep resident.
     """
-    from .api import _to_logical
+    import jax.numpy as jnp
+
+    from .api import _to_logical, get_decoder
     from .kernels.common import to_device_streams
 
+    slicer = GroupSlicer(col)
     ng = num_groups(col.n)
-    decoder = None
     pending: list[tuple[jax.Array, int]] = []
-    depth = 2  # chunks in flight
+    depth = 2  # chunks in flight beyond the one being consumed
     for c0 in range(0, ng, chunk_groups):
         c1 = min(c0 + chunk_groups, ng)
-        sub = slice_groups(col, c0, c1)
+        sub = slicer.slice(c0, c1)
         if sub.scheme == "_patched_slice":
-            # patched columns: decode base chunk, apply its local patches
-            from . import partial as _partial
-
-            out = _partial.decode_groups(col, c0, c1)
-            yield out if to_host else jax.numpy.asarray(out)
+            out = slicer.decode(c0, c1)
+            yield out if to_host else jnp.asarray(out)
             continue
-        if decoder is None or c1 - c0 != chunk_groups:
-            builder = registry.get(sub.scheme).decode_device
-            fn = jax.jit(builder(sub))
-            if c1 - c0 == chunk_groups:
-                decoder = fn
-        else:
-            fn = decoder
-        u = fn(to_device_streams(sub.streams))  # enqueued, not awaited
+        u = get_decoder(sub)(to_device_streams(sub.streams))  # enqueued
         pending.append((u, sub.n))
         if len(pending) > depth:
             yield _emit(pending.pop(0), col.dtype, to_host)

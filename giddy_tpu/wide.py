@@ -81,14 +81,17 @@ def decode_ref(col: EncodedColumn) -> np.ndarray:
     return _combine(lo, hi, col.dtype)
 
 
-def decode_device(col: EncodedColumn) -> np.ndarray:
+def decode_device(col: EncodedColumn, *, pad: bool = False) -> np.ndarray:
     """Device decode of both planes (jitted Pallas), host recombine.
-    Returns a NumPy array (int64 lives outside the device hot path)."""
+    Returns a NumPy array (int64 lives outside the device hot path);
+    pad=True keeps the whole-GROUP-aligned n_pad length."""
     from .api import device_streams, get_decoder
 
     lo_col, hi_col = _sub(col, "lo"), _sub(col, "hi")
-    lo = np.asarray(get_decoder(lo_col)(device_streams(lo_col)))[: col.n]
-    hi = np.asarray(get_decoder(hi_col)(device_streams(hi_col)))[: col.n]
+    lo = np.asarray(get_decoder(lo_col)(device_streams(lo_col)))
+    hi = np.asarray(get_decoder(hi_col)(device_streams(hi_col)))
+    if not pad:
+        lo, hi = lo[: col.n], hi[: col.n]
     return _combine(lo, hi, col.dtype)
 
 

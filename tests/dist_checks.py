@@ -50,7 +50,7 @@ def main() -> None:
         np.testing.assert_array_equal(out, gt.decode_ref(col), err_msg=scheme)
         print(f"[dist] {scheme}: ok", flush=True)
     # ragged group counts (padded groups)
-    for scheme in ("nbit", "delta", "rle"):
+    for scheme in ("nbit", "delta", "rle", "bitmap", "dict", "patched"):
         v = gen_column(scheme, 3 * GROUP + 421, rng)
         col = gt.encode(v, scheme)
         np.testing.assert_array_equal(
