@@ -43,11 +43,18 @@ def cmd_encode(args) -> None:
     from .format import write_container
 
     v = np.load(args.input)
-    col = encode(v, args.scheme, name=args.name)
+    if args.scheme == "auto":
+        from .advisor import encode_best, suggest
+
+        ranked = suggest(v)
+        print("advisor:", ", ".join(f"{s}={r:.1f}x" for s, r in ranked[:4]))
+        col = encode_best(v, name=args.name)
+    else:
+        col = encode(v, args.scheme, name=args.name)
     with open(args.out, "wb") as f:
         write_container([col], f)
     print(
-        f"{args.input} -> {args.out}: {col.nbytes_decoded} -> "
+        f"{args.input} -> {args.out} [{col.scheme}]: {col.nbytes_decoded} -> "
         f"{col.nbytes_compressed} bytes ({col.ratio:.2f}x)"
     )
 
@@ -163,7 +170,10 @@ def main(argv=None) -> None:
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (ValueError, KeyError, FileNotFoundError) as e:
+        sys.exit(f"giddy-tpu: error: {e}")
 
 
 if __name__ == "__main__":

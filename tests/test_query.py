@@ -1,0 +1,45 @@
+"""Predicate pushdown: fused decode+filter bitmaps (the DBMS-scan shape
+the reference feeds — SURVEY.md §1)."""
+
+import numpy as np
+import pytest
+
+import giddy_tpu as gt
+from giddy_tpu.datagen import gen_column
+from giddy_tpu.query import count_where, where_mask
+from giddy_tpu.util import GROUP
+
+OPS = {"eq": np.equal, "ne": np.not_equal, "lt": np.less,
+       "le": np.less_equal, "gt": np.greater, "ge": np.greater_equal}
+
+
+@pytest.mark.parametrize("scheme", ["nbit", "for", "dzbf", "delta", "dict", "rle"])
+@pytest.mark.parametrize("op", ["eq", "lt", "ge"])
+def test_where_matches_numpy(scheme, op):
+    rng = np.random.default_rng(40)
+    v = gen_column(scheme, 2 * GROUP + 999, rng)
+    col = gt.encode(v, scheme)
+    value = int(np.median(v))
+    mask = where_mask(col, op, value)
+    np.testing.assert_array_equal(mask, OPS[op](v, value), err_msg=f"{scheme}/{op}")
+
+
+@pytest.mark.parametrize("scheme", ["nbit", "rle"])
+def test_count_where(scheme):
+    rng = np.random.default_rng(41)
+    v = gen_column(scheme, 3 * GROUP + 17, rng)
+    col = gt.encode(v, scheme)
+    value = int(np.median(v))
+    assert count_where(col, "le", value) == int(np.sum(v <= value))
+
+
+def test_signed_comparison():
+    v = np.array([-5, -1, 0, 3, 7] * GROUP, dtype=np.int32)[: GROUP + 10]
+    col = gt.encode(v, "raw")
+    np.testing.assert_array_equal(where_mask(col, "lt", 0), v < 0)
+
+
+def test_bad_op_rejected():
+    col = gt.encode(np.zeros(10, np.int32), "nbit")
+    with pytest.raises(ValueError):
+        count_where(col, "between", 3)
