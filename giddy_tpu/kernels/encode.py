@@ -93,6 +93,26 @@ def delta_streams_device(values: jax.Array, bits: int, n: int | None = None):
     return packed, anchors
 
 
+def for_streams_device(values: jax.Array, bits: int, frame_len: int):
+    """Compute the FOR scheme's streams on-device: per-frame min references
+    + packed offsets (FORMAT.md §1.2). ``values`` must be padded to whole
+    frames (multiples of GROUP) with last-value fill like the host encoder."""
+    n_pad = values.shape[0]
+    ng = num_groups(n_pad)
+    nf = n_pad // frame_len
+
+    @jax.jit
+    def run(v):
+        frames = v.reshape(nf, frame_len)
+        refs = jnp.min(frames, axis=1)
+        offs = (frames - refs[:, None]).reshape(-1)
+        return offs, refs
+
+    offs, refs = run(values)
+    packed = jax.jit(_pack_call(ng, bits))(offs.reshape(ng, GROUP))
+    return packed, refs
+
+
 def encode_nbit_device(values: np.ndarray | jax.Array, *, bits: int, name: str = "col") -> EncodedColumn:
     """End-to-end device nbit encode returning a standard EncodedColumn
     (bit-identical to the host encoder; enforced by tests)."""

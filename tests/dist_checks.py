@@ -96,6 +96,17 @@ def main() -> None:
     out = np.asarray(decode_sharded(col, mesh2, axes))
     np.testing.assert_array_equal(out, gt.decode_ref(col))
     print("[dist] host-chip-2d-mesh: ok", flush=True)
+    # steady-state decode must move ZERO bytes between shards: the compiled
+    # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
+    # this is the structural basis of the >=90% scaling target).
+    for scheme in ("nbit", "delta", "rle", "dict"):
+        v = gen_column(scheme, 16 * GROUP, rng)
+        col = gt.encode(v, scheme)
+        fn, args = build_sharded_decoder(col, default_mesh())
+        hlo = fn.lower(*args).compile().as_text().lower()
+        for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all", "reduce-scatter"):
+            assert coll not in hlo, (scheme, coll)
+    print("[dist] zero-collective-decode: ok", flush=True)
     print("ALL DIST CHECKS PASSED", flush=True)
 
 

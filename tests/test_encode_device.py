@@ -24,6 +24,20 @@ def test_device_pack_matches_host(bits):
     )
 
 
+def test_device_for_streams_match_host():
+    import jax.numpy as jnp
+
+    from giddy_tpu.ref import for_ as ref_for
+
+    rng = np.random.default_rng(2)
+    v = (np.int32(1_700_000_000) + rng.integers(0, 4096, 2 * GROUP)).astype(np.int32)
+    host_col = ref_for.encode(v)
+    bits, fl = host_col.params["bits"], host_col.params["frame_len"]
+    packed, refs = kenc.for_streams_device(jnp.asarray(v.view(np.uint32)), bits, fl)
+    np.testing.assert_array_equal(np.asarray(packed), host_col.streams["packed"].view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(refs).view(np.int32), host_col.streams["refs"])
+
+
 def test_device_delta_streams_match_host():
     rng = np.random.default_rng(0)
     v = (np.cumsum(rng.integers(0, 16, 3 * GROUP + 11)) + 1_600_000_000).astype(np.int32)
