@@ -54,6 +54,7 @@ class DistForm:
     sharded: dict[str, np.ndarray]  # leading dim = ng_padded
     replicated: dict[str, np.ndarray]
     bitmap_axis1: bool = False  # bitmaps shard on axis 1, not 0
+    shard_leading: bool = False  # streams carry an explicit shard dim 0
     ng: int = 0  # unpadded group count
     # patched-only: applied globally after the shard_map
     patch_streams: dict[str, np.ndarray] | None = None
@@ -130,6 +131,50 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         d = p["d"]
         bitmaps = st["bitmaps"].reshape(d, ng, LANES)
         return local(dict(p), {"bitmaps": bitmaps}, repl={"values": st["values"]}, bitmap_axis1=True)
+    if scheme == "dzbv":
+        # Plane data is not group-aligned with the column (plane k holds
+        # bytes only for elements with width > k), so each shard's plane
+        # slice is re-packed into its own LMP groups host-side; per-shard
+        # plane lengths are equalized by zero-padding (decode's rank gather
+        # never reads past the shard's real count, so padding is inert).
+        from .ref.lmp import lmp_pack, lmp_unpack
+
+        widths = lmp_unpack(st["widths"], 2, ng_pad * GROUP).astype(np.int32) + 1
+        n_valid = min(col.n, ng_pad * GROUP)
+        widths[n_valid:] = 0  # pad elements select no planes beyond plane0
+        w_sh = widths.reshape(n_shards, ng_l * GROUP)
+        shard_streams: dict[str, np.ndarray] = {
+            "widths": _pad_groups(st["widths"], ng, ng_pad).reshape(n_shards, ng_l, -1)
+        }
+        plane_lens_local = []
+        for k in range(4):
+            if k == 0:
+                sel = [np.minimum(w, 1).astype(bool) for w in w_sh]
+            else:
+                sel = [w > k for w in w_sh]
+            counts = [int(s.sum()) for s in sel]
+            m_max = max(counts) if counts else 0
+            plane_lens_local.append(m_max)
+            if k > 0 and col.params["plane_lens"][k] == 0:
+                plane_lens_local[k] = 0
+                continue
+            full = lmp_unpack(st[f"plane{k}"], 8, col.params["plane_lens"][k])
+            # split the global plane by shard-element membership
+            gmask = np.concatenate(sel)
+            owner = np.repeat(np.arange(n_shards), ng_l * GROUP)[gmask]
+            per_shard = []
+            for s in range(n_shards):
+                seg = full[: gmask.sum()][owner == s]
+                pad = np.zeros(m_max - seg.shape[0], np.uint32)
+                per_shard.append(lmp_pack(np.concatenate([seg, pad]), 8))
+            shard_streams[f"plane{k}"] = np.stack(per_shard)
+        lc = EncodedColumn(
+            name=col.name, scheme="dzbv", dtype=col.dtype, n=ng_l * GROUP,
+            params={"plane_lens": plane_lens_local}, streams={},
+        )
+        return DistForm(
+            local_col=lc, sharded=shard_streams, replicated={}, ng=ng, shard_leading=True
+        )
     if scheme == "patched":
         base = EncodedColumn(
             name=col.name, scheme=col.params["base_scheme"], dtype=col.dtype, n=col.n,
@@ -166,7 +211,11 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
         _spec_for(df.sharded[k], axis, df.bitmap_axis1 and k == "bitmaps") for k in sorted(df.sharded)
     ) + tuple(P() for _ in sorted(df.replicated))
 
+    n_sharded = len(df.sharded)
+
     def sharded_fn(*arrays):
+        if df.shard_leading:  # local view is (1, ...): drop the shard dim
+            arrays = tuple(a[0] for a in arrays[:n_sharded]) + arrays[n_sharded:]
         streams = dict(zip(names, arrays))
         u = local_decode(streams)
         return u.reshape(-1, GROUP)

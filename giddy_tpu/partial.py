@@ -31,6 +31,11 @@ class GroupSlicer:
         self.col = col
         self.ng = num_groups(col.n)
         self.df = dist_form(col, 1)
+        if self.df.shard_leading:
+            raise NotImplementedError(
+                f"partial/streaming decode of {col.scheme!r} columns needs a "
+                "per-range plane repartition (round-2 item)"
+            )
         self._pos = self._val = None
         if self.df.patch_params and self.df.patch_params["count"]:
             self._pos, self._val = self._decode_patches_once()
