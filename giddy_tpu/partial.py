@@ -121,6 +121,12 @@ def slice_groups(col: EncodedColumn, g0: int, g1: int) -> EncodedColumn:
 
 
 def decode_groups(col: EncodedColumn, g0: int, g1: int) -> np.ndarray:
+    if col.scheme == "wide":  # plane-wise random access, host recombine
+        from . import wide
+
+        lo = GroupSlicer(wide._sub(col, "lo")).decode(g0, g1)
+        hi = GroupSlicer(wide._sub(col, "hi")).decode(g0, g1)
+        return wide._combine(lo.view(np.uint32), hi.view(np.uint32), col.dtype)
     return GroupSlicer(col).decode(g0, g1)
 
 

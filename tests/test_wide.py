@@ -50,6 +50,15 @@ def test_wide_container_roundtrip():
     np.testing.assert_array_equal(gt.decode_ref(back), v)
 
 
+def test_wide_partial_decode():
+    from giddy_tpu.partial import decode_groups
+
+    rng = np.random.default_rng(7)
+    v = _ts64(4 * GROUP + 9, rng)
+    col = gt.encode(v, "wide", base_scheme="delta")
+    np.testing.assert_array_equal(decode_groups(col, 1, 3), v[GROUP : 3 * GROUP])
+
+
 def test_wide_rejects_narrow():
     with pytest.raises(ValueError):
         gt.encode(np.zeros(10, np.int32), "wide")
