@@ -88,8 +88,10 @@ class Plan:
 
 # VMEM budget for one decode block's working set (in+out+slack), bytes.
 # v5p/v5e have ~16-32 MiB VMEM/core; Pallas double-buffers blocks, so stay
-# well under half.
-_VMEM_BUDGET = 6 * 1024 * 1024
+# well under half. Tunable per chip via GIDDY_TPU_VMEM_BUDGET (bytes).
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("GIDDY_TPU_VMEM_BUDGET", 6 * 1024 * 1024))
 
 
 def plan(n: int, bytes_per_group: int) -> Plan:
