@@ -24,7 +24,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import registry
 from .format import EncodedColumn
-from .kernels.common import to_device_streams
 from .util import GROUP, LANES, cdiv, num_groups
 
 

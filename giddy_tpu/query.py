@@ -40,7 +40,6 @@ def _epilogue_filter_call(col: EncodedColumn, op: str, value: int):
     from jax.experimental import pallas as pl
 
     from .kernels.common import block_spec, use_interpret
-    from .kernels.lanes import LANES as _L
 
     scheme = col.scheme
     bits = col.params["bits"] if scheme in ("nbit", "for") else 8 * col.params["width"]
