@@ -55,9 +55,13 @@ def suggest(
     return results
 
 
-def encode_best(values: np.ndarray, *, name: str = "col", **kw) -> EncodedColumn:
+def encode_best(
+    values: np.ndarray, *, name: str = "col", ranked: list[tuple[str, float]] | None = None, **kw
+) -> EncodedColumn:
     """Encode with the advisor's top pick (falls back to raw if nothing
-    beats 1.0x)."""
-    ranked = suggest(values, **kw)
+    beats 1.0x). Pass a precomputed ``ranked`` list (from suggest) to avoid
+    re-running the trial encodes."""
+    if ranked is None:
+        ranked = suggest(values, **kw)
     best = ranked[0] if ranked and ranked[0][1] > 1.0 else ("raw", 1.0)
     return registry.get(best[0]).encode(np.asarray(values), name=name)

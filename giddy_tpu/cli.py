@@ -48,7 +48,7 @@ def cmd_encode(args) -> None:
 
         ranked = suggest(v)
         print("advisor:", ", ".join(f"{s}={r:.1f}x" for s, r in ranked[:4]))
-        col = encode_best(v, name=args.name)
+        col = encode_best(v, name=args.name, ranked=ranked)
     else:
         col = encode(v, args.scheme, name=args.name)
     with open(args.out, "wb") as f:
@@ -172,7 +172,8 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     try:
         args.fn(args)
-    except (ValueError, KeyError, FileNotFoundError) as e:
+    except (ValueError, FileNotFoundError) as e:
+        # KeyError etc. are internal bugs — let those traceback
         sys.exit(f"giddy-tpu: error: {e}")
 
 

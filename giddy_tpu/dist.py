@@ -138,9 +138,11 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         # never reads past the shard's real count, so padding is inert).
         from .ref.lmp import lmp_pack, lmp_unpack
 
-        widths = lmp_unpack(st["widths"], 2, ng_pad * GROUP).astype(np.int32) + 1
-        n_valid = min(col.n, ng_pad * GROUP)
-        widths[n_valid:] = 0  # pad elements select no planes beyond plane0
+        # unpack only the ng real groups, then pad (reading ng_pad groups
+        # from an ng-group buffer would run off the end)
+        widths = np.zeros(ng_pad * GROUP, np.int32)
+        widths[: ng * GROUP] = lmp_unpack(st["widths"], 2, ng * GROUP).astype(np.int32) + 1
+        widths[col.n :] = 0  # pad elements select no planes beyond plane0
         w_sh = widths.reshape(n_shards, ng_l * GROUP)
         shard_streams: dict[str, np.ndarray] = {
             "widths": _pad_groups(st["widths"], ng, ng_pad).reshape(n_shards, ng_l, -1)

@@ -78,6 +78,28 @@ def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
         out_ref[:, i * LANES : (i + 1) * LANES] = epilogue(v, i)
 
 
+def unpack_fold(x: jax.Array, bits: int, fold, init):
+    """LMP unpack folding each slot vector into an accumulator:
+    ``acc = fold(acc, v, i)`` over the 32 slots. The reduction sibling of
+    unpack_map_to — used by fused predicate scans (query.py) where the
+    kernel's output is smaller than the decoded block."""
+    if x.dtype != jnp.uint32:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    acc = init
+    for i in range(SLOTS):
+        w0, s = divmod(i * bits, 32)
+        v = x[:, w0 * LANES : (w0 + 1) * LANES]
+        if s:
+            v = v >> jnp.uint32(s)
+        if s + bits > 32:
+            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
+        if bits < 32:
+            v = v & mask
+        acc = fold(acc, v, i)
+    return acc
+
+
 def unzigzag(z: jax.Array) -> jax.Array:
     """uint32 zigzag -> uint32 two's-complement signed payload (FORMAT §0.2)."""
     return (z >> jnp.uint32(1)) ^ (-(z & jnp.uint32(1)))

@@ -27,15 +27,19 @@ from .util import GROUP, num_groups
 class GroupSlicer:
     """Per-column cache of the dist-form rewrite; slices group ranges."""
 
+    _UNSLICEABLE = ("dzbv", "wide")
+
     def __init__(self, col: EncodedColumn):
-        self.col = col
-        self.ng = num_groups(col.n)
-        self.df = dist_form(col, 1)
-        if self.df.shard_leading:
+        if col.scheme in self._UNSLICEABLE:
+            # checked BEFORE dist_form: the dzbv rewrite does an O(n) plane
+            # repartition we must not pay just to raise
             raise NotImplementedError(
                 f"partial/streaming decode of {col.scheme!r} columns needs a "
                 "per-range plane repartition (round-2 item)"
             )
+        self.col = col
+        self.ng = num_groups(col.n)
+        self.df = dist_form(col, 1)
         self._pos = self._val = None
         if self.df.patch_params and self.df.patch_params["count"]:
             self._pos, self._val = self._decode_patches_once()

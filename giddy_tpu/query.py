@@ -7,7 +7,12 @@ packed stream and writes a 1-bit incidence bitmap (LMP(1) layout, 1/32 of
 the decoded bytes). Supported for the unpack-epilogue schemes (nbit, dzbf,
 for); other schemes fall back to decode + compare in one jit.
 
-Comparisons use the column's logical dtype signedness.
+The comparison value rides in at runtime (SMEM scalar / jit argument), so
+scanning many thresholds reuses ONE compiled kernel per (column, op).
+Comparisons follow the column's logical dtype signedness, including
+sign-extension of narrow (int8/int16) payloads. 64-bit ``wide`` columns
+are rejected explicitly (the compare path is 32-bit; plane-split scans are
+a round-2 item).
 """
 
 from __future__ import annotations
@@ -23,86 +28,78 @@ from .util import GROUP, LANES, SLOTS, np_dtype, num_groups
 _OPS = ("eq", "ne", "lt", "le", "gt", "ge")
 
 
-def _cmp(v, value, op: str, signed: bool):
+def _cmp(v, c, op: str, signed: bool, itemsize: int):
+    """Compare uint32 payloads against scalar c in logical-dtype semantics.
+    Narrow signed payloads are zero-extended at encode; sign-extend with an
+    arithmetic shift pair before comparing. ``c`` must already carry the
+    comparison dtype (int32/uint32) — prepared host-side, since Mosaic
+    cannot bitcast scalars in-kernel."""
     if signed:
         v = jax.lax.bitcast_convert_type(v, jnp.int32)
-        c = jnp.int32(value)
-    else:
-        c = jnp.uint32(value)
+        k = 32 - 8 * itemsize
+        if k:  # sign-extend narrow payloads (jnp >> on int32 is arithmetic)
+            v = (v << k) >> k
     return {
         "eq": v == c, "ne": v != c, "lt": v < c,
         "le": v <= c, "gt": v > c, "ge": v >= c,
     }[op]
 
 
-def _epilogue_filter_call(col: EncodedColumn, op: str, value: int):
-    """Fused unpack+compare kernel -> (ng, LANES) bitmap words."""
+def _epilogue_filter_call(col: EncodedColumn, op: str):
+    """Fused unpack+compare kernel -> (ng, LANES) bitmap words; the
+    comparison value arrives as an SMEM scalar at runtime."""
     from jax.experimental import pallas as pl
 
-    from .kernels.common import block_spec, use_interpret
+    from .kernels.common import block_spec, smem_spec, use_interpret
+    from .kernels.lanes import unpack_fold
 
     scheme = col.scheme
     bits = col.params["bits"] if scheme in ("nbit", "for") else 8 * col.params["width"]
     ng = num_groups(col.n)
-    signed = np_dtype(col.dtype).kind == "i"
-    pl_plan = plan(ng * GROUP, 2 * 4 * (bits * LANES + LANES))
+    dt = np_dtype(col.dtype)
+    signed, itemsize = dt.kind == "i", dt.itemsize
+    pl_plan = plan(ng * GROUP, 2 * 4 * ((bits + 1 + 1) * LANES))
     r = pl_plan.groups_per_block
 
-    def body(x, ref):
-        # constants must be materialized inside the kernel trace
-        mask32 = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
-        acc = jnp.zeros((x.shape[0], LANES), jnp.uint32)
-        for i in range(SLOTS):
-            w0, s = divmod(i * bits, 32)
-            v = x[:, w0 * LANES : (w0 + 1) * LANES]
-            if s:
-                v = v >> jnp.uint32(s)
-            if s + bits > 32:
-                v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
-            if bits < 32:
-                v = v & mask32
+    def body(x, ref, val):
+        def fold(acc, v, i):
             if ref is not None:
                 v = v + ref
-            acc = acc | (_cmp(v, value, op, signed).astype(jnp.uint32) << jnp.uint32(i))
-        return acc
+            hit = _cmp(v, val, op, signed, itemsize).astype(jnp.uint32)
+            return acc | (hit << jnp.uint32(i))
+
+        init = jnp.zeros((x.shape[0], LANES), jnp.uint32)
+        return unpack_fold(x, bits, fold, init)
 
     if scheme == "for":
 
-        def kernel(in_ref, ref_ref, out_ref):
+        def kernel(val_ref, in_ref, ref_ref, out_ref):
             ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
-            out_ref[:] = body(in_ref[:], ref)
+            out_ref[:] = body(in_ref[:], ref, val_ref[0, 0])
 
-        call = pl.pallas_call(
-            kernel,
-            grid=(pl_plan.grid,),
-            in_specs=[block_spec((r, bits * LANES), lambda i: (i, 0)),
-                      block_spec((r, 1), lambda i: (i, 0))],
-            out_specs=block_spec((r, LANES), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((ng, LANES), jnp.uint32),
-            interpret=use_interpret(),
-        )
-
-        def run(streams):
-            return call(streams["packed"], streams["refs_g"])
-
+        in_specs = [smem_spec((1, 1), lambda i: (0, 0)),
+                    block_spec((r, bits * LANES), lambda i: (i, 0)),
+                    block_spec((r, 1), lambda i: (i, 0))]
     else:
 
-        def kernel(in_ref, out_ref):
-            out_ref[:] = body(in_ref[:], None)
+        def kernel(val_ref, in_ref, out_ref):
+            out_ref[:] = body(in_ref[:], None, val_ref[0, 0])
 
-        call = pl.pallas_call(
-            kernel,
-            grid=(pl_plan.grid,),
-            in_specs=[block_spec((r, bits * LANES), lambda i: (i, 0))],
-            out_specs=block_spec((r, LANES), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((ng, LANES), jnp.uint32),
-            interpret=use_interpret(),
-        )
+        in_specs = [smem_spec((1, 1), lambda i: (0, 0)),
+                    block_spec((r, bits * LANES), lambda i: (i, 0))]
 
-        def run(streams):
-            return call(streams["packed"])
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl_plan.grid,),
+        in_specs=in_specs,
+        out_specs=block_spec((r, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ng, LANES), jnp.uint32),
+        interpret=use_interpret(),
+    )
 
-    return run
+    if scheme == "for":
+        return lambda streams, val: call(val, streams["packed"], streams["refs_g"])
+    return lambda streams, val: call(val, streams["packed"])
 
 
 _FILTER_CACHE: dict[tuple, object] = {}
@@ -111,48 +108,64 @@ _FILTER_CACHE: dict[tuple, object] = {}
 def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
     """(ng, LANES) uint32 bitmap words in LMP(1) layout: bit i of word
     [g, c] = predicate(col[g*GROUP + i*LANES + c]). Pad positions beyond n
-    are garbage — mask with position_mask() or slice after unpacking."""
+    are garbage — count_where masks them; slice after unpacking otherwise."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    if col.scheme == "wide":
+        raise ValueError(
+            "predicate pushdown on 64-bit (wide) columns is not supported "
+            "yet — decode the planes and compare in int64, or scan the hi "
+            "plane first to prune"
+        )
     from .api import device_streams, get_decoder
 
-    key = (col.static_key(), op, int(value))
+    key = (col.static_key(), op)
     fn = _FILTER_CACHE.get(key)
     if fn is None:
         if col.scheme in ("nbit", "dzbf", "for"):
-            fn = jax.jit(_epilogue_filter_call(col, op, value))
+            fn = jax.jit(_epilogue_filter_call(col, op))
         else:
             ng = num_groups(col.n)
-            signed = np_dtype(col.dtype).kind == "i"
+            dt = np_dtype(col.dtype)
+            signed, itemsize = dt.kind == "i", dt.itemsize
             decoder = get_decoder(col)
 
-            def general(streams):
+            def general(streams, val):
                 u = decoder(streams).reshape(ng, SLOTS, LANES)
-                bits = _cmp(u, value, op, signed).astype(jnp.uint32)
+                hits = _cmp(u, val[0, 0], op, signed, itemsize).astype(jnp.uint32)
                 i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
                 # bits occupy distinct positions, so sum == bitwise-or
-                return jnp.sum(bits << i, axis=1, dtype=jnp.uint32)
+                return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
 
             fn = jax.jit(general)
         _FILTER_CACHE[key] = fn
-    return fn(device_streams(col))
+    # the value crosses the jit boundary already in the comparison dtype
+    # (per-column-static signedness), wrap-exact via int64 staging
+    ctype = np.int32 if np_dtype(col.dtype).kind == "i" else np.uint32
+    val = jnp.asarray(np.array([[value]], dtype=np.int64).astype(np.uint32).view(ctype))
+    return fn(device_streams(col), val)
+
+
+def _tail_mask(n: int) -> np.ndarray:
+    """(LANES,) uint32 valid-bit words for the LAST group only; all earlier
+    groups are fully valid."""
+    ng = num_groups(n)
+    base = (ng - 1) * GROUP
+    i = np.arange(SLOTS)[:, None]
+    c = np.arange(LANES)[None, :]
+    valid = (base + i * LANES + c) < n
+    keep = np.zeros(LANES, np.uint32)
+    for ii in range(SLOTS):
+        keep |= valid[ii].astype(np.uint32) << np.uint32(ii)
+    return keep
 
 
 def count_where(col: EncodedColumn, op: str, value: int) -> int:
     """Number of elements satisfying the predicate (pad bits masked)."""
     words = filter_bitmap(col, op, value)
     ng = num_groups(col.n)
-    n_pad = ng * GROUP
-    # mask pad tail: position of bit i in word [g, c] is g*GROUP + i*LANES + c
-    if col.n < n_pad:
-        g = np.arange(ng)[:, None, None]
-        i = np.arange(SLOTS)[None, :, None]
-        c = np.arange(LANES)[None, None, :]
-        valid = (g * GROUP + i * LANES + c) < col.n
-        keep = np.zeros((ng, LANES), np.uint32)
-        for ii in range(SLOTS):
-            keep |= valid[:, ii, :].astype(np.uint32) << np.uint32(ii)
-        words = words & jnp.asarray(keep)
+    if col.n < ng * GROUP:  # only the final group can hold pad bits
+        words = words.at[ng - 1].set(words[ng - 1] & jnp.asarray(_tail_mask(col.n)))
     # SWAR popcount on uint32 words
     x = words
     x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))

@@ -22,7 +22,7 @@ SIZES = [GROUP, 2 * GROUP + 999, GROUP + 17]
 def test_fuzz_roundtrip(trial):
     rng = np.random.default_rng(1000 + trial)
     scheme = SCHEMES[trial % len(SCHEMES)]
-    n = SIZES[trial % len(SIZES)]
+    n = SIZES[(trial // len(SCHEMES)) % len(SIZES)]  # decorrelated from scheme
     hard = bool(rng.integers(0, 2))
     v = gen_column(scheme, n, rng, hard=hard)
     col = gt.encode(v, scheme)

@@ -39,6 +39,38 @@ def test_signed_comparison():
     np.testing.assert_array_equal(where_mask(col, "lt", 0), v < 0)
 
 
+def test_signed_narrow_dtypes():
+    """int8/int16 payloads are zero-extended on disk; predicates must
+    sign-extend before comparing (review regression)."""
+    rng = np.random.default_rng(42)
+    for dt in ("int16", "int8"):
+        v = rng.integers(-100, 100, GROUP + 13).astype(np.dtype(dt))
+        col = gt.encode(v, "dict")
+        np.testing.assert_array_equal(where_mask(col, "lt", 0), v < 0, err_msg=dt)
+        col2 = gt.encode(v, "raw")
+        assert count_where(col2, "ge", -3) == int((v >= -3).sum()), dt
+
+
+def test_value_is_runtime_argument():
+    """Distinct comparison values must reuse one compiled kernel."""
+    from giddy_tpu.query import _FILTER_CACHE
+
+    rng = np.random.default_rng(43)
+    v = rng.integers(0, 512, GROUP).astype(np.int32)
+    col = gt.encode(v, "nbit")
+    before = len(_FILTER_CACHE)
+    for thr in (10, 100, 300):
+        assert count_where(col, "lt", thr) == int((v < thr).sum())
+    assert len(_FILTER_CACHE) == before + 1
+
+
+def test_wide_rejected_clearly():
+    v = (np.arange(100, dtype=np.int64) + 10**15)
+    col = gt.encode(v, "wide")
+    with pytest.raises(ValueError, match="wide"):
+        count_where(col, "lt", 10**15)
+
+
 def test_bad_op_rejected():
     col = gt.encode(np.zeros(10, np.int32), "nbit")
     with pytest.raises(ValueError):
