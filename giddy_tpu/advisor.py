@@ -24,6 +24,8 @@ def suggest(
     candidates: list[str] | None = None,
     sample_groups: int = 4,
     rng: np.random.Generator | None = None,
+    measure: bool = False,
+    tie_tol: float = 0.10,
 ) -> list[tuple[str, float]]:
     """Rank candidate schemes by estimated compression ratio on a sample.
 
@@ -31,6 +33,12 @@ def suggest(
     encode the column (e.g. bitmap over a high-cardinality column would
     explode) are skipped. Sampling uses whole GROUPs so run/frame shapes
     survive.
+
+    With ``measure=True``, candidates whose ratios are within ``tie_tol``
+    of the leader are re-ordered by measured device decode throughput on
+    the sample (compiles each tied candidate's decoder once — spends
+    seconds of compile time to settle ties with data instead of the static
+    decode-cost ordering). Leave off where device timings are unreliable.
     """
     values = np.asarray(values)
     n = values.shape[0]
@@ -52,7 +60,41 @@ def suggest(
             continue
         results.append((scheme, col.nbytes_decoded / max(col.nbytes_compressed, 1)))
     results.sort(key=lambda t: (-t[1], CANDIDATES.index(t[0]) if t[0] in CANDIDATES else 99))
+    if measure and len(results) > 1:
+        k = 1
+        while k < len(results) and results[k][1] >= results[0][1] * (1 - tie_tol):
+            k += 1
+        if k > 1:
+            gbps = {s: _measure_decode_gbps(sample, s) for s, _ in results[:k]}
+            results[:k] = sorted(results[:k], key=lambda t: -gbps[t[0]])
     return results
+
+
+def _measure_decode_gbps(
+    sample: np.ndarray, scheme: str, *, iters: int = 5, target_groups: int = 64
+) -> float:
+    """Device decode throughput (decoded GB/s) of `scheme` on the sample,
+    tiled to ~target_groups GROUPs so the measurement rises above dispatch
+    latency. Returns 0.0 if the scheme fails to compile/decode."""
+    import time
+
+    from .api import device_streams, get_decoder
+
+    tiled = np.tile(sample, max(1, (target_groups * GROUP) // max(sample.shape[0], 1)))
+    try:
+        col = registry.get(scheme).encode(tiled, name="_measure")
+        fn = get_decoder(col)
+        st = device_streams(col)
+        fn(st).block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(st)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+    except Exception:
+        return 0.0
+    return col.nbytes_decoded / max(dt, 1e-9) / 1e9
 
 
 def encode_best(

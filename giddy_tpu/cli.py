@@ -46,7 +46,7 @@ def cmd_encode(args) -> None:
     if args.scheme == "auto":
         from .advisor import encode_best, suggest
 
-        ranked = suggest(v)
+        ranked = suggest(v, measure=args.measure)
         print("advisor:", ", ".join(f"{s}={r:.1f}x" for s, r in ranked[:4]))
         col = encode_best(v, name=args.name, ranked=ranked)
     else:
@@ -145,6 +145,8 @@ def main(argv=None) -> None:
     e.add_argument("scheme")
     e.add_argument("--name", default="col")
     e.add_argument("--out", default="column.gtp")
+    e.add_argument("--measure", action="store_true",
+                   help="with scheme=auto: settle near-ties by measured device decode throughput")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

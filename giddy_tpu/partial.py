@@ -27,22 +27,80 @@ from .util import GROUP, num_groups
 class GroupSlicer:
     """Per-column cache of the dist-form rewrite; slices group ranges."""
 
-    _UNSLICEABLE = ("dzbv", "wide")
-
     def __init__(self, col: EncodedColumn):
-        if col.scheme in self._UNSLICEABLE:
-            # checked BEFORE dist_form: the dzbv rewrite does an O(n) plane
-            # repartition we must not pay just to raise
+        if col.scheme == "wide":
             raise NotImplementedError(
-                f"partial/streaming decode of {col.scheme!r} columns needs a "
-                "per-range plane repartition (round-2 item)"
+                "GroupSlicer works on 32-bit planes; slice a wide column via "
+                "partial.decode_groups / stream.stream_decode, which split it"
             )
         self.col = col
         self.ng = num_groups(col.n)
+        if col.scheme == "dzbv":
+            # dzbv planes are compacted over the whole column (plane k holds
+            # bytes only for elements with width > k), so ranges need a
+            # per-range repartition: unpack the planes once, keep per-group
+            # prefix counts, and repack each requested segment.
+            self._init_dzbv()
+            return
         self.df = dist_form(col, 1)
         self._pos = self._val = None
         if self.df.patch_params and self.df.patch_params["count"]:
             self._pos, self._val = self._decode_patches_once()
+
+    def _init_dzbv(self) -> None:
+        from .ref.lmp import lmp_unpack
+
+        col = self.col
+        plane_lens = col.params["plane_lens"]
+        w = lmp_unpack(col.streams["widths"], 2, col.n).astype(np.int32) + 1
+        wp = np.zeros(self.ng * GROUP, np.int32)
+        wp[: col.n] = w  # pad elements have width 0: members of no plane
+        self._dz_planes = {
+            k: lmp_unpack(col.streams[f"plane{k}"], 8, plane_lens[k])
+            for k in range(4)
+            if plane_lens[k]
+        }
+        # cum[k][g] = #elements with width > k in groups [0, g)
+        self._dz_cum = {
+            k: np.concatenate([[0], np.cumsum((wp.reshape(self.ng, GROUP) > k).sum(1))])
+            for k in (1, 2, 3)
+            if plane_lens[k]
+        }
+        self._pos = self._val = None
+
+    def _slice_dzbv(self, g0: int, g1: int) -> EncodedColumn:
+        from .ref.lmp import lmp_pack
+
+        col = self.col
+        lo, hi = g0 * GROUP, min(g1 * GROUP, col.n)
+        streams = {"widths": col.streams["widths"][g0:g1]}
+        # plane0 holds byte 0 of every element, so it is position-aligned
+        plane_lens = [hi - lo]
+        streams["plane0"] = lmp_pack(self._dz_planes[0][lo:hi], 8)
+        for k in (1, 2, 3):
+            if k not in self._dz_planes:
+                plane_lens.append(0)
+                streams[f"plane{k}"] = lmp_pack(np.empty(0, np.uint32), 8)
+                continue
+            s, e = int(self._dz_cum[k][g0]), int(self._dz_cum[k][g1])
+            seg = self._dz_planes[k][s:e]
+            # quantize the plane length to a power-of-two group count so
+            # equal-size chunks share jit specializations (stream decode
+            # would otherwise recompile per chunk — lens are data-dependent)
+            m = len(seg)
+            mq = GROUP << max(0, (num_groups(m) - 1).bit_length()) if m else GROUP
+            streams[f"plane{k}"] = lmp_pack(
+                np.concatenate([seg, np.zeros(mq - m, np.uint32)]), 8
+            )
+            plane_lens.append(mq)
+        return EncodedColumn(
+            name=f"{col.name}[{g0}:{g1}]",
+            scheme="dzbv",
+            dtype=col.dtype,
+            n=hi - lo,
+            params={"plane_lens": plane_lens},
+            streams=streams,
+        )
 
     def _decode_patches_once(self):
         ps, pp = self.df.patch_streams, self.df.patch_params
@@ -63,6 +121,8 @@ class GroupSlicer:
         """A self-contained column decoding exactly groups [g0, g1)."""
         if not (0 <= g0 < g1 <= self.ng):
             raise ValueError(f"group range [{g0},{g1}) out of [0,{self.ng})")
+        if self.col.scheme == "dzbv":
+            return self._slice_dzbv(g0, g1)
         df, col = self.df, self.col
         streams: dict[str, np.ndarray] = {}
         for k, v in df.sharded.items():

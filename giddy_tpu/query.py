@@ -11,8 +11,8 @@ The comparison value rides in at runtime (SMEM scalar / jit argument), so
 scanning many thresholds reuses ONE compiled kernel per (column, op).
 Comparisons follow the column's logical dtype signedness, including
 sign-extension of narrow (int8/int16) payloads. 64-bit ``wide`` columns
-are rejected explicitly (the compare path is 32-bit; plane-split scans are
-a round-2 item).
+compare plane-split: both 32-bit planes decode on device and the 64-bit
+ordering is pieced from (hi, lo) halves — no int64 device arrays.
 """
 
 from __future__ import annotations
@@ -102,6 +102,40 @@ def _epilogue_filter_call(col: EncodedColumn, op: str):
     return lambda streams, val: call(val, streams["packed"])
 
 
+def _wide_filter_fn(col: EncodedColumn, op: str):
+    """Bitmap builder for 64-bit (wide) columns: decode both 32-bit planes
+    on device and compare with 64-bit semantics pieced from 32-bit halves
+    (hi ordered in the logical signedness, lo always unsigned) — the int64
+    values themselves never materialize on device (wide.py)."""
+    from . import wide
+    from .api import get_decoder
+
+    lo_col, hi_col = wide._sub(col, "lo"), wide._sub(col, "hi")
+    ng = num_groups(col.n)
+    signed = np_dtype(col.dtype).kind == "i"
+    dlo, dhi = get_decoder(lo_col), get_decoder(hi_col)
+
+    def general(slo, shi, val):
+        lo = dlo(slo).reshape(ng, SLOTS, LANES)
+        hi = dhi(shi).reshape(ng, SLOTS, LANES)
+        clo, chi_u = val[0, 0], val[0, 1]
+        if signed:
+            hi_o = jax.lax.bitcast_convert_type(hi, jnp.int32)
+            chi_o = jax.lax.bitcast_convert_type(chi_u, jnp.int32)
+        else:
+            hi_o, chi_o = hi, chi_u
+        eq = (hi == chi_u) & (lo == clo)
+        lt = (hi_o < chi_o) | ((hi == chi_u) & (lo < clo))
+        hits = {
+            "eq": eq, "ne": ~eq, "lt": lt,
+            "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
+        }[op].astype(jnp.uint32)
+        i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
+        return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
+
+    return jax.jit(general)
+
+
 _FILTER_CACHE: dict[tuple, object] = {}
 
 
@@ -111,13 +145,25 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
     are garbage — count_where masks them; slice after unpacking otherwise."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
-    if col.scheme == "wide":
-        raise ValueError(
-            "predicate pushdown on 64-bit (wide) columns is not supported "
-            "yet — decode the planes and compare in int64, or scan the hi "
-            "plane first to prune"
-        )
     from .api import device_streams, get_decoder
+
+    if col.scheme == "wide":
+        from . import wide
+
+        key = (col.static_key(), op)
+        fn = _FILTER_CACHE.get(key)
+        if fn is None:
+            fn = _FILTER_CACHE[key] = _wide_filter_fn(col, op)
+        dt = np.int64 if np_dtype(col.dtype).kind == "i" else np.uint64
+        u = np.array(value, dtype=dt).view(np.uint64)
+        val = jnp.asarray(
+            np.array([[u & np.uint64(0xFFFFFFFF), u >> np.uint64(32)]], np.uint64).astype(np.uint32)
+        )
+        return fn(
+            device_streams(wide._sub(col, "lo")),
+            device_streams(wide._sub(col, "hi")),
+            val,
+        )
 
     key = (col.static_key(), op)
     fn = _FILTER_CACHE.get(key)

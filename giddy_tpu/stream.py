@@ -40,6 +40,21 @@ def stream_decode(
     from .api import _to_logical, get_decoder
     from .kernels.common import to_device_streams
 
+    if col.scheme == "wide":
+        # Stream the 32-bit planes and recombine per chunk. Chunks come back
+        # as NumPy regardless of to_host: int64 lives outside the device hot
+        # path (wide.py), and the plane iterators already overlap the device
+        # work.
+        from . import wide
+
+        lo_it = stream_decode(wide._sub(col, "lo"), chunk_groups=chunk_groups)
+        hi_it = stream_decode(wide._sub(col, "hi"), chunk_groups=chunk_groups)
+        for lo, hi in zip(lo_it, hi_it):
+            yield wide._combine(
+                np.asarray(lo).view(np.uint32), np.asarray(hi).view(np.uint32), col.dtype
+            )
+        return
+
     slicer = GroupSlicer(col)
     ng = num_groups(col.n)
     pending: list[tuple[jax.Array, int]] = []

@@ -39,6 +39,42 @@ def test_encode_best_falls_back_to_raw():
     np.testing.assert_array_equal(gt.decode_ref(col), v)
 
 
+def test_advisor_measured_tiebreak(monkeypatch):
+    """measure=True re-orders only near-tied candidates, by measured
+    decode throughput (stubbed here; the real path times the device)."""
+    from giddy_tpu import advisor
+
+    rng = np.random.default_rng(4)
+    v = rng.integers(0, 512, 4 * GROUP).astype(np.int32)
+    plain = suggest(v)
+    speeds = {s: float(i) for i, (s, _) in enumerate(plain)}  # reverse order
+    calls = []
+
+    def fake(sample, scheme, **kw):
+        calls.append(scheme)
+        return speeds[scheme]
+
+    monkeypatch.setattr(advisor, "_measure_decode_gbps", fake)
+    measured = suggest(v, measure=True, tie_tol=0.10)
+    assert {s for s, _ in measured} == {s for s, _ in plain}
+    assert calls, "no candidates were measured"
+    # tied prefix must now be ordered by the fake speeds (descending)
+    k = len(calls)
+    assert [s for s, _ in measured[:k]] == sorted(calls, key=lambda s: -speeds[s])
+    # ratios still attached to the right schemes
+    assert dict(measured) == dict(plain)
+
+
+def test_measure_decode_gbps_smoke():
+    from giddy_tpu.advisor import _measure_decode_gbps
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 64, GROUP).astype(np.int32)
+    gbps = _measure_decode_gbps(v, "nbit", iters=1, target_groups=1)
+    assert gbps > 0.0
+    assert _measure_decode_gbps(v, "nosuchscheme") == 0.0
+
+
 def test_roofline_math():
     rf = Roofline(decoded_bytes=1_000_000_000, compressed_bytes=250_000_000, hbm_bw=1e12)
     assert rf.floor_time_s == pytest.approx(1.25e-3)

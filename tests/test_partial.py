@@ -9,7 +9,23 @@ from giddy_tpu.datagen import gen_column
 from giddy_tpu.partial import decode_groups, decode_ref_groups
 from giddy_tpu.util import GROUP
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "raw", "patched"]
+SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched"]
+
+
+def test_dzbv_chunks_share_specializations():
+    """Equal-size dzbv slices must produce few distinct static keys (plane
+    lengths are data-dependent; the slicer quantizes them so streaming does
+    not recompile per chunk)."""
+    from giddy_tpu.partial import GroupSlicer
+
+    rng = np.random.default_rng(23)
+    v = gen_column("dzbv", 16 * GROUP, rng)
+    col = gt.encode(v, "dzbv")
+    s = GroupSlicer(col)
+    keys = {s.slice(g, g + 2).static_key() for g in range(0, 16, 2)}
+    assert len(keys) <= 3, len(keys)
+    for g in range(0, 16, 2):
+        np.testing.assert_array_equal(s.decode(g, g + 2), v[g * GROUP : (g + 2) * GROUP])
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)

@@ -64,11 +64,27 @@ def test_value_is_runtime_argument():
     assert len(_FILTER_CACHE) == before + 1
 
 
-def test_wide_rejected_clearly():
-    v = (np.arange(100, dtype=np.int64) + 10**15)
+def test_wide_predicates():
+    """64-bit columns: plane-split comparison must match int64 semantics,
+    including values where only the hi or only the lo half differs and
+    negative ranges (signed hi ordering, unsigned lo ordering)."""
+    rng = np.random.default_rng(44)
+    base = rng.integers(-(2**40), 2**40, 3 * GROUP, dtype=np.int64)
+    base[:5] = [0, -1, 2**33, -(2**33), 2**33 + 7]
+    col = gt.encode(base, "wide")
+    for op, npop in [("lt", np.less), ("ge", np.greater_equal), ("eq", np.equal), ("ne", np.not_equal)]:
+        for thr in (0, -1, 2**33, 2**33 + 7, -(2**33) + 1):
+            assert count_where(col, op, thr) == int(npop(base, thr).sum()), (op, thr)
+    np.testing.assert_array_equal(where_mask(col, "lt", 0), base < 0)
+
+
+def test_wide_unsigned_predicates():
+    rng = np.random.default_rng(45)
+    v = rng.integers(0, 2**62, GROUP + 31, dtype=np.uint64)
+    v[0] = 2**63 + 5  # above int64 range: must still order correctly
     col = gt.encode(v, "wide")
-    with pytest.raises(ValueError, match="wide"):
-        count_where(col, "lt", 10**15)
+    for thr in (2**40, 2**63, 2**63 + 5):
+        assert count_where(col, "ge", thr) == int((v >= thr).sum()), thr
 
 
 def test_bad_op_rejected():
