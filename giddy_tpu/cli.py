@@ -88,6 +88,25 @@ def cmd_validate(args) -> None:
     sys.exit(1 if failures else 0)
 
 
+def cmd_query(args) -> None:
+    """Predicate pushdown straight off the compressed container — decode
+    never materializes, only the 1-bit-per-element match bitmap does."""
+    from .query import count_between, count_where
+
+    col = _load_cols(args.input)[args.column]
+    if args.between is not None:
+        lo, hi = (int(x) for x in args.between)
+        cnt, label = count_between(col, lo, hi), f"{lo} <= x <= {hi}"
+    else:
+        if args.value is None:
+            sys.exit("giddy-tpu query: need --value N (or --between LO HI)")
+        cnt, label = count_where(col, args.op, int(args.value)), f"x {args.op} {args.value}"
+    print(json.dumps({
+        "column": col.name, "scheme": col.scheme, "predicate": label,
+        "count": cnt, "n": col.n, "selectivity": round(cnt / max(col.n, 1), 6),
+    }))
+
+
 def cmd_info(args) -> None:
     for col in _load_cols(args.input):
         print(json.dumps({
@@ -164,6 +183,14 @@ def main(argv=None) -> None:
     i = sub.add_parser("info")
     i.add_argument("input")
     i.set_defaults(fn=cmd_info)
+
+    q = sub.add_parser("query", help="count rows matching a predicate, without decoding")
+    q.add_argument("input")
+    q.add_argument("--column", type=int, default=0)
+    q.add_argument("--op", default="eq", choices=("eq", "ne", "lt", "le", "gt", "ge"))
+    q.add_argument("--value", default=None)
+    q.add_argument("--between", nargs=2, metavar=("LO", "HI"), default=None)
+    q.set_defaults(fn=cmd_query)
 
     b = sub.add_parser("bench")
     b.add_argument("--n", type=int, default=26)

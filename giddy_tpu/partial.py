@@ -194,6 +194,45 @@ def decode_groups(col: EncodedColumn, g0: int, g1: int) -> np.ndarray:
     return GroupSlicer(col).decode(g0, g1)
 
 
+def take(col: EncodedColumn, indices) -> np.ndarray:
+    """Point lookups: ``col[indices]`` decoding only the groups that
+    contain them (the DBMS positional-gather story — libgiddy's
+    ``data_layout/gather`` building block, SURVEY.md §3.3, lifted from
+    decoded arrays to compressed columns). Indices may repeat and arrive
+    in any order. Contiguous needed groups decode in one call; run lengths
+    are rounded up to powers of two so scattered lookups reuse a handful
+    of jit specializations."""
+    idx = np.asarray(indices, dtype=np.int64)
+    out_shape = idx.shape
+    idx = idx.reshape(-1)
+    from .util import np_dtype
+
+    if idx.size == 0:
+        return np.empty(out_shape, np_dtype(col.dtype))
+    if ((idx < 0) | (idx >= col.n)).any():
+        bad = idx[(idx < 0) | (idx >= col.n)][0]
+        raise IndexError(f"index {bad} out of range for column of n={col.n}")
+    if col.scheme == "wide":
+        from . import wide
+
+        lo = take(wide._sub(col, "lo"), idx)
+        hi = take(wide._sub(col, "hi"), idx)
+        return wide._combine(lo.view(np.uint32), hi.view(np.uint32), col.dtype).reshape(out_shape)
+    slicer = GroupSlicer(col)
+    groups = np.unique(idx // GROUP)
+    # maximal contiguous runs of needed groups
+    starts = np.flatnonzero(np.diff(groups, prepend=groups[0] - 2) > 1)
+    out = np.empty(idx.shape, np_dtype(col.dtype))
+    for s, e in zip(starts, np.append(starts[1:], groups.size)):
+        g0, g_last = int(groups[s]), int(groups[e - 1])
+        want = g_last + 1 - g0
+        g1 = min(g0 + (1 << (want - 1).bit_length()), slicer.ng)  # pow2 sizing
+        vals = slicer.decode(g0, g1)
+        m = (idx >= g0 * GROUP) & (idx < (g_last + 1) * GROUP)
+        out[m] = vals[idx[m] - g0 * GROUP]
+    return out.reshape(out_shape)
+
+
 def decode_ref_groups(col: EncodedColumn, g0: int, g1: int) -> np.ndarray:
     """Oracle twin of decode_groups (full decode then slice)."""
     from . import registry

@@ -206,19 +206,69 @@ def _tail_mask(n: int) -> np.ndarray:
     return keep
 
 
-def count_where(col: EncodedColumn, op: str, value: int) -> int:
-    """Number of elements satisfying the predicate (pad bits masked)."""
-    words = filter_bitmap(col, op, value)
-    ng = num_groups(col.n)
-    if col.n < ng * GROUP:  # only the final group can hold pad bits
-        words = words.at[ng - 1].set(words[ng - 1] & jnp.asarray(_tail_mask(col.n)))
+def _mask_pad(words, n: int):
+    """Zero the bits of pad positions (only the final group can hold any)."""
+    ng = num_groups(n)
+    if n < ng * GROUP:
+        words = words.at[ng - 1].set(words[ng - 1] & jnp.asarray(_tail_mask(n)))
+    return words
+
+
+def count_bits(words, n: int) -> int:
+    """Population count of an LMP(1) bitmap over a column of n elements
+    (pad bits masked). Accepts the output of filter_bitmap / combinators."""
+    x = _mask_pad(jnp.asarray(words), n)
     # SWAR popcount on uint32 words
-    x = words
     x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
     x = (x & jnp.uint32(0x33333333)) + ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
     x = (x + (x >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
     x = (x * jnp.uint32(0x01010101)) >> jnp.uint32(24)
     return int(jnp.sum(x))
+
+
+def count_where(col: EncodedColumn, op: str, value: int) -> int:
+    """Number of elements satisfying the predicate (pad bits masked)."""
+    return count_bits(filter_bitmap(col, op, value), col.n)
+
+
+# --- bitmap algebra -------------------------------------------------------
+# Predicates compose on the 1-bit-per-element bitmaps (1/32 of decoded
+# bytes), never on decoded values — the DBMS scan pipeline shape. All of
+# these stay on device.
+
+
+def bitmap_and(a, b):
+    return jnp.asarray(a) & jnp.asarray(b)
+
+
+def bitmap_or(a, b):
+    return jnp.asarray(a) | jnp.asarray(b)
+
+
+def bitmap_not(words, n: int):
+    """Complement within the column (pad bits forced to 0)."""
+    return _mask_pad(~jnp.asarray(words), n)
+
+
+def between_bitmap(col: EncodedColumn, lo: int, hi: int):
+    """Bitmap of lo <= col[i] <= hi (inclusive both ends)."""
+    return bitmap_and(filter_bitmap(col, "ge", lo), filter_bitmap(col, "le", hi))
+
+
+def count_between(col: EncodedColumn, lo: int, hi: int) -> int:
+    return count_bits(between_bitmap(col, lo, hi), col.n)
+
+
+def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
+    """Bitmap of membership in a small value set (OR of eq scans — one
+    compiled kernel total, since the compare value is a runtime argument)."""
+    vals = list(dict.fromkeys(int(v) for v in np.asarray(values).reshape(-1)))
+    if not vals:
+        return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    acc = filter_bitmap(col, "eq", vals[0])
+    for v in vals[1:]:
+        acc = acc | filter_bitmap(col, "eq", v)
+    return acc
 
 
 def where_mask(col: EncodedColumn, op: str, value: int) -> np.ndarray:

@@ -46,6 +46,37 @@ def test_patched_compressed_range():
     np.testing.assert_array_equal(out, v[GROUP : 3 * GROUP])
 
 
+def test_take_point_lookups():
+    """take() gathers arbitrary positions, decoding only containing groups."""
+    from giddy_tpu.partial import take
+
+    rng = np.random.default_rng(24)
+    for scheme in ("nbit", "delta", "rle", "dzbv"):
+        v = gen_column(scheme, 6 * GROUP + 45, rng)
+        col = gt.encode(v, scheme)
+        idx = np.concatenate([
+            rng.integers(0, col.n, 50),
+            [0, col.n - 1, GROUP - 1, GROUP, 3 * GROUP + 7],
+        ])
+        rng.shuffle(idx)
+        np.testing.assert_array_equal(take(col, idx), v[idx], err_msg=scheme)
+    # empty + shape preservation + bounds
+    assert take(col, np.empty((0,), np.int64)).shape == (0,)
+    np.testing.assert_array_equal(take(col, idx.reshape(5, 11)), v[idx].reshape(5, 11))
+    with pytest.raises(IndexError):
+        take(col, [col.n])
+
+
+def test_take_wide_column():
+    from giddy_tpu.partial import take
+
+    rng = np.random.default_rng(25)
+    v = rng.integers(-(2**50), 2**50, 3 * GROUP + 5, dtype=np.int64)
+    col = gt.encode(v, "wide")
+    idx = rng.integers(0, col.n, 64)
+    np.testing.assert_array_equal(take(col, idx), v[idx])
+
+
 def test_bad_range_rejected():
     col = gt.encode(np.zeros(GROUP, np.int32), "nbit")
     with pytest.raises(ValueError):

@@ -87,6 +87,48 @@ def test_wide_unsigned_predicates():
         assert count_where(col, "ge", thr) == int((v >= thr).sum()), thr
 
 
+def test_bitmap_algebra_and_ranges():
+    from giddy_tpu.query import (
+        between_bitmap, bitmap_and, bitmap_not, bitmap_or,
+        count_between, count_bits, filter_bitmap, isin_bitmap,
+    )
+
+    rng = np.random.default_rng(46)
+    v = rng.integers(0, 1000, 2 * GROUP + 77).astype(np.int32)
+    col = gt.encode(v, "nbit")
+    n = col.n
+    assert count_between(col, 100, 500) == int(((v >= 100) & (v <= 500)).sum())
+    a = filter_bitmap(col, "lt", 200)
+    b = filter_bitmap(col, "ge", 800)
+    assert count_bits(bitmap_or(a, b), n) == int(((v < 200) | (v >= 800)).sum())
+    assert count_bits(bitmap_and(a, b), n) == 0
+    assert count_bits(bitmap_not(a, n), n) == int((v >= 200).sum())
+    want = np.isin(v, [3, 700, 999]).sum()
+    assert count_bits(isin_bitmap(col, [3, 700, 999, 3]), n) == int(want)
+    assert count_bits(isin_bitmap(col, []), n) == 0
+    assert count_bits(between_bitmap(col, 0, 999), n) == n  # pad masked
+
+
+def test_cli_query(tmp_path, capsys):
+    import json
+
+    from giddy_tpu.cli import main
+    from giddy_tpu.format import write_container
+
+    rng = np.random.default_rng(47)
+    v = rng.integers(0, 100, GROUP + 9).astype(np.int32)
+    col = gt.encode(v, "nbit", name="c")
+    path = tmp_path / "q.gtp"
+    with open(path, "wb") as f:
+        write_container([col], f)
+    main(["query", str(path), "--op", "lt", "--value", "50"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count"] == int((v < 50).sum())
+    main(["query", str(path), "--between", "10", "20"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count"] == int(((v >= 10) & (v <= 20)).sum())
+
+
 def test_bad_op_rejected():
     col = gt.encode(np.zeros(10, np.int32), "nbit")
     with pytest.raises(ValueError):
