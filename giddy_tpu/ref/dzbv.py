@@ -22,6 +22,23 @@ def encode(values: np.ndarray, *, name: str = "col") -> EncodedColumn:
     values = np.asarray(values)
     n = values.shape[0]
     u = dtype_to_u32(values)
+    from .. import native
+
+    nat = native.dzbv_split(u)
+    if nat is not None:  # C++ single-pass width + compacted-plane split
+        wm1, planes = nat
+        streams = {"widths": lmp_pack(wm1, 2)}
+        plane_lens = [int(p.shape[0]) for p in planes]
+        for k in range(4):
+            streams[f"plane{k}"] = lmp_pack(planes[k], 8)
+        return EncodedColumn(
+            name=name,
+            scheme="dzbv",
+            dtype=str(values.dtype),
+            n=n,
+            params={"plane_lens": plane_lens},
+            streams=streams,
+        )
     # width w[j] in [1,4] = smallest byte count holding u[j]
     w = np.ones(n, dtype=np.int32)
     w[u > 0xFF] = 2
