@@ -92,15 +92,17 @@ def cmd_query(args) -> None:
     """Predicate pushdown straight off the compressed container — decode
     never materializes, only the 1-bit-per-element match bitmap does."""
     from .query import count_between, count_where
+    from .util import np_dtype
 
     col = _load_cols(args.input)[args.column]
+    parse = float if np_dtype(col.dtype).kind == "f" else int
     if args.between is not None:
-        lo, hi = (int(x) for x in args.between)
+        lo, hi = (parse(x) for x in args.between)
         cnt, label = count_between(col, lo, hi), f"{lo} <= x <= {hi}"
     else:
         if args.value is None:
             sys.exit("giddy-tpu query: need --value N (or --between LO HI)")
-        cnt, label = count_where(col, args.op, int(args.value)), f"x {args.op} {args.value}"
+        cnt, label = count_where(col, args.op, parse(args.value)), f"x {args.op} {args.value}"
     print(json.dumps({
         "column": col.name, "scheme": col.scheme, "predicate": label,
         "count": cnt, "n": col.n, "selectivity": round(cnt / max(col.n, 1), 6),

@@ -9,10 +9,14 @@ for); other schemes fall back to decode + compare in one jit.
 
 The comparison value rides in at runtime (SMEM scalar / jit argument), so
 scanning many thresholds reuses ONE compiled kernel per (column, op).
-Comparisons follow the column's logical dtype signedness, including
+Comparisons follow the column's logical dtype semantics, including
 sign-extension of narrow (int8/int16) payloads. 64-bit ``wide`` columns
 compare plane-split: both 32-bit planes decode on device and the 64-bit
-ordering is pieced from (hi, lo) halves — no int64 device arrays.
+ordering is pieced from (hi, lo) halves — no int64 device arrays. Float
+columns compare in IEEE total order (monotone bitpattern keys): regular
+values match float semantics exactly; the deviations are -0.0 < +0.0
+(and != +0.0), and NaNs ordered at the extremes instead of
+all-comparisons-false.
 """
 
 from __future__ import annotations
@@ -28,17 +32,30 @@ from .util import GROUP, LANES, SLOTS, np_dtype, num_groups
 _OPS = ("eq", "ne", "lt", "le", "gt", "ge")
 
 
-def _cmp(v, c, op: str, signed: bool, itemsize: int):
-    """Compare uint32 payloads against scalar c in logical-dtype semantics.
-    Narrow signed payloads are zero-extended at encode; sign-extend with an
-    arithmetic shift pair before comparing. ``c`` must already carry the
-    comparison dtype (int32/uint32) — prepared host-side, since Mosaic
-    cannot bitcast scalars in-kernel."""
-    if signed:
+def _total_order_u32(v):
+    """IEEE-754 bitpattern -> monotone uint32 key: flip all bits of
+    negatives, flip only the sign bit of non-negatives. Unsigned compare of
+    keys then matches float ordering (total order: -NaN < -inf < ... <
+    -0.0 < +0.0 < ... < +inf < +NaN; ±0.0 compare unequal)."""
+    neg = jnp.uint32(0) - (v >> jnp.uint32(31))  # 0xFFFFFFFF where negative
+    return v ^ (jnp.uint32(0x80000000) | neg)
+
+
+def _cmp(v, c, op: str, kind: str, itemsize: int):
+    """Compare uint32 payloads against scalar c in logical-dtype semantics
+    (kind = numpy dtype kind: 'i'/'u'/'f'). Narrow signed payloads are
+    zero-extended at encode; sign-extend with an arithmetic shift pair
+    before comparing. Float payloads map through the total-order key —
+    ``c`` must arrive already in comparison form (int32 for signed,
+    total-order-mapped uint32 for floats), prepared host-side, since
+    Mosaic cannot bitcast scalars in-kernel."""
+    if kind == "i":
         v = jax.lax.bitcast_convert_type(v, jnp.int32)
         k = 32 - 8 * itemsize
         if k:  # sign-extend narrow payloads (jnp >> on int32 is arithmetic)
             v = (v << k) >> k
+    elif kind == "f":
+        v = _total_order_u32(v)
     return {
         "eq": v == c, "ne": v != c, "lt": v < c,
         "le": v <= c, "gt": v > c, "ge": v >= c,
@@ -57,7 +74,7 @@ def _epilogue_filter_call(col: EncodedColumn, op: str):
     bits = col.params["bits"] if scheme in ("nbit", "for") else 8 * col.params["width"]
     ng = num_groups(col.n)
     dt = np_dtype(col.dtype)
-    signed, itemsize = dt.kind == "i", dt.itemsize
+    kind, itemsize = dt.kind, dt.itemsize
     pl_plan = plan(ng * GROUP, 2 * 4 * ((bits + 1 + 1) * LANES))
     r = pl_plan.groups_per_block
 
@@ -65,7 +82,7 @@ def _epilogue_filter_call(col: EncodedColumn, op: str):
         def fold(acc, v, i):
             if ref is not None:
                 v = v + ref
-            hit = _cmp(v, val, op, signed, itemsize).astype(jnp.uint32)
+            hit = _cmp(v, val, op, kind, itemsize).astype(jnp.uint32)
             return acc | (hit << jnp.uint32(i))
 
         init = jnp.zeros((x.shape[0], LANES), jnp.uint32)
@@ -112,14 +129,22 @@ def _wide_filter_fn(col: EncodedColumn, op: str):
 
     lo_col, hi_col = wide._sub(col, "lo"), wide._sub(col, "hi")
     ng = num_groups(col.n)
-    signed = np_dtype(col.dtype).kind == "i"
+    kind = np_dtype(col.dtype).kind
     dlo, dhi = get_decoder(lo_col), get_decoder(hi_col)
 
     def general(slo, shi, val):
         lo = dlo(slo).reshape(ng, SLOTS, LANES)
         hi = dhi(shi).reshape(ng, SLOTS, LANES)
         clo, chi_u = val[0, 0], val[0, 1]
-        if signed:
+        if kind == "f":
+            # float64 total-order key, pieced across the halves: flip all
+            # 64 bits of negatives, only the sign bit of non-negatives
+            # (val halves arrive pre-mapped)
+            neg = jnp.uint32(0) - (hi >> jnp.uint32(31))
+            hi = hi ^ (jnp.uint32(0x80000000) | neg)
+            lo = lo ^ neg
+            hi_o, chi_o = hi, chi_u
+        elif kind == "i":
             hi_o = jax.lax.bitcast_convert_type(hi, jnp.int32)
             chi_o = jax.lax.bitcast_convert_type(chi_u, jnp.int32)
         else:
@@ -154,8 +179,12 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
         fn = _FILTER_CACHE.get(key)
         if fn is None:
             fn = _FILTER_CACHE[key] = _wide_filter_fn(col, op)
-        dt = np.int64 if np_dtype(col.dtype).kind == "i" else np.uint64
+        dk = np_dtype(col.dtype).kind
+        dt = {"i": np.int64, "u": np.uint64, "f": np.float64}[dk]
         u = np.array(value, dtype=dt).view(np.uint64)
+        if dk == "f":  # pre-map to the 64-bit total-order key
+            neg = np.uint64(0xFFFFFFFFFFFFFFFF) if (u >> np.uint64(63)) else np.uint64(0)
+            u = u ^ (np.uint64(0x8000000000000000) | neg)
         val = jnp.asarray(
             np.array([[u & np.uint64(0xFFFFFFFF), u >> np.uint64(32)]], np.uint64).astype(np.uint32)
         )
@@ -173,22 +202,29 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
         else:
             ng = num_groups(col.n)
             dt = np_dtype(col.dtype)
-            signed, itemsize = dt.kind == "i", dt.itemsize
+            kind, itemsize = dt.kind, dt.itemsize
             decoder = get_decoder(col)
 
             def general(streams, val):
                 u = decoder(streams).reshape(ng, SLOTS, LANES)
-                hits = _cmp(u, val[0, 0], op, signed, itemsize).astype(jnp.uint32)
+                hits = _cmp(u, val[0, 0], op, kind, itemsize).astype(jnp.uint32)
                 i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
                 # bits occupy distinct positions, so sum == bitwise-or
                 return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
 
             fn = jax.jit(general)
         _FILTER_CACHE[key] = fn
-    # the value crosses the jit boundary already in the comparison dtype
-    # (per-column-static signedness), wrap-exact via int64 staging
-    ctype = np.int32 if np_dtype(col.dtype).kind == "i" else np.uint32
-    val = jnp.asarray(np.array([[value]], dtype=np.int64).astype(np.uint32).view(ctype))
+    # the value crosses the jit boundary already in comparison form
+    # (per-column-static kind), wrap-exact via int64 staging for ints and
+    # total-order-mapped for floats
+    dk = np_dtype(col.dtype).kind
+    if dk == "f":
+        u = np.float32(value).view(np.uint32)
+        neg = np.uint32(0xFFFFFFFF) if (u >> np.uint32(31)) else np.uint32(0)
+        val = jnp.asarray(np.array([[u ^ (np.uint32(0x80000000) | neg)]], np.uint32))
+    else:
+        ctype = np.int32 if dk == "i" else np.uint32
+        val = jnp.asarray(np.array([[value]], dtype=np.int64).astype(np.uint32).view(ctype))
     return fn(device_streams(col), val)
 
 

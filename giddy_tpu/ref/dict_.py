@@ -24,16 +24,22 @@ def encode(
     name: str = "col",
 ) -> EncodedColumn:
     values = np.asarray(values)
+    # Floats dedupe in bitpattern space (NaN != NaN breaks unique/
+    # searchsorted on the logical values; distinct NaN payloads stay
+    # distinct dictionary entries). Integer behavior is unchanged.
+    as_work = dtype_to_u32 if values.dtype.kind == "f" else (lambda a: a)
+    work = as_work(values)
     if dictionary is None:
-        dictionary, codes = np.unique(values, return_inverse=True)
+        dic_work, codes = np.unique(work, return_inverse=True)
     else:
         dictionary = np.asarray(dictionary, dtype=values.dtype)
-        sorter = np.argsort(dictionary, kind="stable")
-        pos = np.searchsorted(dictionary, values, sorter=sorter)
-        codes = sorter[np.minimum(pos, dictionary.shape[0] - 1)]
-        if not np.array_equal(dictionary[codes], values):
+        dic_work = as_work(dictionary)
+        sorter = np.argsort(dic_work, kind="stable")
+        pos = np.searchsorted(dic_work, work, sorter=sorter)
+        codes = sorter[np.minimum(pos, dic_work.shape[0] - 1)]
+        if not np.array_equal(dic_work[codes], work):
             raise ValueError("values contain entries missing from dictionary")
-    d = int(dictionary.shape[0])
+    d = int(dic_work.shape[0])
     if bits is None:
         bits = bits_needed(max(d - 1, 0))
     return EncodedColumn(
@@ -44,7 +50,12 @@ def encode(
         params={"bits": int(bits), "dict_size": d},
         streams={
             "codes": lmp_pack(codes.astype(np.uint32), bits),
-            "values": dtype_to_u32(dictionary).astype(np.int32),
+            # dic_work is already uint32 for floats; integers zero-extend
+            "values": (
+                dic_work.view(np.int32)
+                if values.dtype.kind == "f"
+                else dtype_to_u32(dic_work).astype(np.int32)
+            ),
         },
     )
 

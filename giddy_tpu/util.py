@@ -28,6 +28,13 @@ _DTYPES = {
     "uint16": np.uint16,
     "int8": np.int8,
     "uint8": np.uint8,
+    # Floats ride as IEEE-754 bitpatterns: encode/decode bitcast through
+    # uint32 payloads (lossless, NaN-preserving); float64 splits into
+    # planes via the wide wrapper. Magnitude-based schemes (nbit/for/
+    # delta/model) see the bitpattern as an integer — roundtrip-exact,
+    # compression depends on the data; dict/rle/raw behave as usual.
+    "float32": np.float32,
+    "float64": np.float64,
 }
 
 
