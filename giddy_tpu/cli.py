@@ -109,6 +109,15 @@ def cmd_query(args) -> None:
     }))
 
 
+def cmd_agg(args) -> None:
+    from .aggregate import max_, min_, sum_
+
+    col = _load_cols(args.input)[args.column]
+    fn = {"sum": sum_, "min": min_, "max": max_}[args.agg]
+    print(json.dumps({"column": col.name, "scheme": col.scheme, "agg": args.agg,
+                      "value": fn(col), "n": col.n}))
+
+
 def cmd_info(args) -> None:
     for col in _load_cols(args.input):
         print(json.dumps({
@@ -193,6 +202,12 @@ def main(argv=None) -> None:
     q.add_argument("--value", default=None)
     q.add_argument("--between", nargs=2, metavar=("LO", "HI"), default=None)
     q.set_defaults(fn=cmd_query)
+
+    a = sub.add_parser("agg", help="fused aggregate (sum/min/max) without decoding")
+    a.add_argument("input")
+    a.add_argument("agg", choices=("sum", "min", "max"))
+    a.add_argument("--column", type=int, default=0)
+    a.set_defaults(fn=cmd_agg)
 
     b = sub.add_parser("bench")
     b.add_argument("--n", type=int, default=26)
