@@ -48,6 +48,19 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
         return v
     if scheme == "raw":
         return rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+    if scheme == "cascade":
+        # low-cardinality values in long runs (RLE_DICTIONARY's sweet spot)
+        d = 2**12 if hard else 8
+        vocab = rng.integers(-(2**31), 2**31 - 1, d, dtype=np.int64).astype(np.int32)
+        if hard:
+            return vocab[rng.integers(0, d, n)]
+        out = np.zeros(n, dtype=np.int32)
+        pos = 0
+        while pos < n:
+            ln = int(rng.integers(50, 2000))
+            out[pos : pos + ln] = vocab[int(rng.integers(0, d))]
+            pos += ln
+        return out
     if scheme == "wide":
         # 64-bit epoch-nano timestamps: hi plane near-constant
         return (

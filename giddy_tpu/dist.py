@@ -112,6 +112,23 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         )
     if scheme == "dict":
         return local(dict(p), {"codes": st["codes"]}, repl={"values": st["values"]})
+    if scheme == "cascade":
+        # Recurse on the nested code column; re-prefix its dist form and
+        # replicate the dictionary (same broadcast-once rule as dict).
+        from .ref.cascade import codes_column
+
+        df = dist_form(codes_column(col), n_shards)
+        lc = df.local_col
+        df.local_col = EncodedColumn(
+            name=col.name, scheme="cascade", dtype=col.dtype, n=lc.n,
+            params={"codes_scheme": lc.scheme, "codes_params": lc.params,
+                    "dict_size": p["dict_size"]},
+            streams={},
+        )
+        df.sharded = {f"c_{k}": v for k, v in df.sharded.items()}
+        df.replicated = {f"c_{k}": v for k, v in df.replicated.items()}
+        df.replicated["values"] = st["values"]
+        return df
     if scheme in ("rle", "rpe"):
         from .kernels.rle import scatter_prep
 

@@ -127,8 +127,9 @@ class GroupSlicer:
         streams: dict[str, np.ndarray] = {}
         for k, v in df.sharded.items():
             streams[k] = v[:, g0:g1] if df.bitmap_axis1 and k == "bitmaps" else v[g0:g1]
-        if "pos" in streams:  # rle/rpe scatter positions are group-local flats
-            streams["pos"] = streams["pos"] - np.int32(g0 * GROUP)
+        for pk in ("pos", "c_pos"):  # rle/rpe scatter positions are group-local
+            if pk in streams:  # flats (c_ = nested inside a cascade column)
+                streams[pk] = streams[pk] - np.int32(g0 * GROUP)
         streams.update(df.replicated)
         sub = EncodedColumn(
             name=f"{col.name}[{g0}:{g1}]",

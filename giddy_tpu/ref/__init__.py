@@ -10,6 +10,7 @@ double as the judge target per BASELINE.json configs[0].
 
 from . import (  # noqa: F401  (import = registration)
     bitmap,
+    cascade,
     delta,
     dict_,
     dzbf,

@@ -96,6 +96,13 @@ def main() -> None:
     out = np.asarray(decode_sharded(col, mesh2, axes))
     np.testing.assert_array_equal(out, gt.decode_ref(col))
     print("[dist] host-chip-2d-mesh: ok", flush=True)
+    # cascade: inner streams shard, dictionary replicates (broadcast once)
+    for inner in ("rle", "delta", "nbit"):
+        v = gen_column("cascade", 16 * GROUP, rng)
+        col = gt.encode(v, "cascade", codes_scheme=inner)
+        out = np.asarray(decode_sharded(col))
+        np.testing.assert_array_equal(out, gt.decode_ref(col), err_msg=f"cascade-{inner}")
+    print("[dist] cascade: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).

@@ -59,6 +59,7 @@ def test_stream_alignment():
         ("dzbv", "dzbv_mixed"),
         ("patched", "patched_for"),
         ("raw", "raw_rand"),
+        ("cascade", "cascade_rledict"),
     ],
 )
 def test_golden_format_frozen(scheme, digest_name):
