@@ -236,6 +236,20 @@ def sum_(col: EncodedColumn) -> int | float:
 
 def _minmax(col: EncodedColumn, agg: str):
     dt = np_dtype(col.dtype)
+    if col.scheme == "cascade" and col.params.get("dense"):
+        # auto-built dictionary: every entry appears at least once, so the
+        # column extreme is the dictionary extreme — host O(dict_size), no
+        # decode at all (the cascade twin of query.py's dict-domain pushdown)
+        from .query import _host_key_u32
+        from .util import u32_to_dtype
+
+        u = col.streams["values"].view(np.uint32)
+        if dt.kind == "f":
+            keys = _host_key_u32(u)
+            pick = int(np.argmax(keys)) if agg == "max" else int(np.argmin(keys))
+            return u32_to_dtype(u[pick : pick + 1], col.dtype)[0].item()
+        vals = u32_to_dtype(u, col.dtype)
+        return int(vals.max() if agg == "max" else vals.min())
     if col.scheme == "wide":
         # zone-map keys: logical values for ints, total-order bits for floats
         from .zonemap import zone_map

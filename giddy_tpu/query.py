@@ -17,6 +17,13 @@ columns compare in IEEE total order (monotone bitpattern keys): regular
 values match float semantics exactly; the deviations are -0.0 < +0.0
 (and != +0.0), and NaNs ordered at the extremes instead of
 all-comparisons-false.
+
+Cascade columns get a **dict-domain pushdown**: the predicate is evaluated
+over the dictionary host-side (O(dict_size)) and rewritten as inner-code
+range scans — the value gather never runs, and when the inner scheme is
+nbit/for/dzbf the scan is the fused epilogue kernel. Fragmented match sets
+(possible only with unsorted explicit dictionaries) fall back to
+decode+compare.
 """
 
 from __future__ import annotations
@@ -161,6 +168,69 @@ def _wide_filter_fn(col: EncodedColumn, op: str):
     return jax.jit(general)
 
 
+def _host_key_u32(u: np.ndarray) -> np.ndarray:
+    """Host twin of _total_order_u32 (uint32 bitpatterns -> monotone keys)."""
+    u = u.astype(np.uint32)
+    neg = np.where(u >> np.uint32(31), np.uint32(0xFFFFFFFF), np.uint32(0))
+    return u ^ (np.uint32(0x80000000) | neg)
+
+
+def _cascade_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, int]] | None:
+    """Evaluate the predicate over the DICTIONARY (host, O(dict_size)) and
+    return the matching codes as contiguous [start, end) ranges — the
+    dict-domain pushdown: a scan over a cascade column never needs the
+    value gather, only inner-code range scans. Returns None when the match
+    set is too fragmented to beat the decode+compare fallback."""
+    dt = np_dtype(col.dtype)
+    u = col.streams["values"].view(np.uint32)
+    # identical comparison semantics to _cmp (incl. the mod-2^32 staging of
+    # out-of-range ints and float total order)
+    if dt.kind == "f":
+        keys = _host_key_u32(u)
+        cval = _host_key_u32(np.float32(value).view(np.uint32).reshape(1))[0]
+    elif dt.kind == "i":
+        k = 32 - 8 * dt.itemsize
+        keys = (u.view(np.int32) << k) >> k if k else u.view(np.int32)
+        cval = np.array(value, np.int64).astype(np.uint32).view(np.int32)
+    else:
+        keys = u
+        cval = np.array(value, np.int64).astype(np.uint32)
+    mask = {
+        "eq": keys == cval, "ne": keys != cval, "lt": keys < cval,
+        "le": keys <= cval, "gt": keys > cval, "ge": keys >= cval,
+    }[op]
+    bounds = np.flatnonzero(np.diff(mask.astype(np.int8), prepend=0, append=0))
+    ranges = list(zip(bounds[0::2].tolist(), bounds[1::2].tolist()))
+    # sorted dictionaries give <=1 range for ordered ops on ints, <=2 for
+    # floats (bitpattern order splits the negatives); beyond a handful, the
+    # OR-of-range-scans loses to one decode+compare pass
+    return ranges if len(ranges) <= 4 else None
+
+
+def _cascade_filter_bitmap(col: EncodedColumn, op: str, value):
+    """filter_bitmap for cascade columns via inner-code range scans."""
+    from .ref.cascade import codes_column
+
+    ranges = _cascade_code_ranges(col, op, value)
+    if ranges is None:
+        return None  # caller falls back to decode+compare
+    inner = codes_column(col)
+    acc = None
+    for s, e in ranges:
+        if e - s == 1:
+            bm = filter_bitmap(inner, "eq", s)
+        elif s == 0:
+            bm = filter_bitmap(inner, "lt", e)
+        elif e == col.params["dict_size"]:
+            bm = filter_bitmap(inner, "ge", s)
+        else:
+            bm = between_bitmap(inner, s, e - 1)
+        acc = bm if acc is None else (acc | bm)
+    if acc is None:
+        acc = jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    return acc
+
+
 _FILTER_CACHE: dict[tuple, object] = {}
 
 
@@ -171,6 +241,12 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
     from .api import device_streams, get_decoder
+
+    if col.scheme == "cascade":
+        bm = _cascade_filter_bitmap(col, op, value)
+        if bm is not None:
+            return bm
+        # fragmented match set: fall through to decode+compare
 
     if col.scheme == "wide":
         from . import wide

@@ -80,6 +80,10 @@ def encode(
             "codes_scheme": codes_scheme,
             "codes_params": ccol.params,
             "dict_size": d,
+            # auto-built dictionaries (np.unique) are sorted in work space
+            # and every entry appears at least once — query.py and
+            # aggregate.py exploit both facts (dict-domain pushdown)
+            "dense": dictionary is None,
         },
         streams={
             "values": (

@@ -76,3 +76,35 @@ def test_pad_positions_ignored():
     col = gt.encode(v, "for")
     assert sum_(col) == -7 * (GROUP + 1)
     assert max_(col) == -7 and min_(col) == -7
+
+
+def test_cascade_minmax_dense_dict():
+    """Auto-built cascade dictionaries answer min/max host-side, O(d)."""
+    rng = np.random.default_rng(105)
+    v = gen_column("cascade", 2 * GROUP + 13, rng)
+    col = gt.encode(v, "cascade")
+    assert col.params["dense"]
+    assert min_(col) == int(v.min()) and max_(col) == int(v.max())
+    # floats: total-order extremes (matches the other schemes' semantics)
+    vocab = np.array([-2.5, -0.5, 0.25, 3.75], np.float32)
+    fv = vocab[rng.integers(0, 4, GROUP + 5)]
+    fcol = gt.encode(fv, "cascade")
+    assert min_(fcol) == fv.min() and max_(fcol) == fv.max()
+
+
+def test_cascade_minmax_explicit_dict_general_path():
+    """Explicit dictionaries may hold unused entries: the dense fast path
+    must not fire, and the general path answers from the data."""
+    rng = np.random.default_rng(106)
+    vocab = np.array([-1000, 2, 5, 9, 1000], np.int32)
+    v = vocab[rng.integers(1, 4, GROUP + 3)]  # never uses +-1000
+    col = gt.encode(v, "cascade", dictionary=vocab, codes_scheme="rle")
+    assert not col.params["dense"]
+    assert min_(col) == int(v.min()) and max_(col) == int(v.max())
+
+
+def test_cascade_sum_exact():
+    rng = np.random.default_rng(107)
+    v = gen_column("cascade", 3 * GROUP + 77, rng)
+    col = gt.encode(v, "cascade")
+    assert sum_(col) == int(np.sum(v.astype(np.int64)))

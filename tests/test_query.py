@@ -133,3 +133,73 @@ def test_bad_op_rejected():
     col = gt.encode(np.zeros(10, np.int32), "nbit")
     with pytest.raises(ValueError):
         count_where(col, "between", 3)
+
+
+# --- cascade dict-domain pushdown ----------------------------------------
+
+
+@pytest.mark.parametrize("inner", ["rle", "nbit", "delta"])
+@pytest.mark.parametrize("op", ["eq", "ne", "lt", "le", "gt", "ge"])
+def test_cascade_pushdown_matches_numpy(inner, op):
+    rng = np.random.default_rng(50)
+    v = gen_column("cascade", 2 * GROUP + 999, rng)
+    col = gt.encode(v, "cascade", codes_scheme=inner)
+    value = int(np.median(v))
+    np.testing.assert_array_equal(
+        where_mask(col, op, value), OPS[op](v, value), err_msg=f"{inner}/{op}"
+    )
+
+
+def test_cascade_pushdown_rewrites_to_code_ranges():
+    """A sorted (auto-built) dictionary must produce <=1 code range for
+    ordered int predicates — the pushdown path, not decode+compare."""
+    from giddy_tpu.query import _cascade_code_ranges
+
+    rng = np.random.default_rng(51)
+    v = gen_column("cascade", GROUP, rng)
+    col = gt.encode(v, "cascade")
+    ranges = _cascade_code_ranges(col, "lt", int(np.median(v)))
+    assert ranges is not None and len(ranges) <= 1
+    # absent value, eq -> zero ranges -> all-false bitmap
+    absent = int(v.max()) + 1 if int(v.max()) < 2**31 - 1 else int(v.min()) - 1
+    assert _cascade_code_ranges(col, "eq", absent) == []
+    assert count_where(col, "eq", absent) == 0
+
+
+def test_cascade_pushdown_float_two_ranges():
+    """Bitpattern-sorted float dictionaries split the negatives into a
+    second contiguous block: ordered predicates still push down (<=2
+    ranges) and match total-order semantics."""
+    rng = np.random.default_rng(52)
+    vocab = np.concatenate([-rng.random(6), rng.random(6)]).astype(np.float32)
+    v = vocab[rng.integers(0, 12, 2 * GROUP + 33)]
+    col = gt.encode(v, "cascade")
+    from giddy_tpu.query import _cascade_code_ranges
+
+    ranges = _cascade_code_ranges(col, "lt", 0.5)
+    assert ranges is not None and 1 <= len(ranges) <= 2
+    np.testing.assert_array_equal(where_mask(col, "lt", 0.5), v < 0.5)
+    np.testing.assert_array_equal(where_mask(col, "ge", 0.0), v >= 0.0)
+
+
+def test_cascade_unsorted_dict_falls_back():
+    """An explicit unsorted dictionary fragments ordered match sets; the
+    scan must still be correct via the decode+compare fallback."""
+    rng = np.random.default_rng(53)
+    vocab = np.array([50, 1, 99, 3, 70, 5, 80, 7, 60, 9, 90, 11], np.int32)
+    v = vocab[rng.integers(0, 12, GROUP + 7)]
+    col = gt.encode(v, "cascade", dictionary=vocab, codes_scheme="nbit")
+    from giddy_tpu.query import _cascade_code_ranges
+
+    assert _cascade_code_ranges(col, "lt", 55) is None  # fragmented
+    np.testing.assert_array_equal(where_mask(col, "lt", 55), v < 55)
+    assert count_where(col, "lt", 55) == int(np.sum(v < 55))
+
+
+def test_cascade_narrow_signed_pushdown():
+    rng = np.random.default_rng(54)
+    vocab = np.array([-90, -3, 0, 4, 77], np.int16)
+    v = vocab[rng.integers(0, 5, GROUP + 21)]
+    col = gt.encode(v, "cascade", codes_scheme="rle")
+    np.testing.assert_array_equal(where_mask(col, "lt", 0), v < 0)
+    np.testing.assert_array_equal(where_mask(col, "ge", 4), v >= 4)
