@@ -103,10 +103,52 @@ def cmd_query(args) -> None:
         if args.value is None:
             sys.exit("giddy-tpu query: need --value N (or --between LO HI)")
         cnt, label = count_where(col, args.op, parse(args.value)), f"x {args.op} {args.value}"
-    print(json.dumps({
+    out = {
         "column": col.name, "scheme": col.scheme, "predicate": label,
         "count": cnt, "n": col.n, "selectivity": round(cnt / max(col.n, 1), 6),
-    }))
+    }
+    if args.select is not None:
+        import numpy as np
+
+        from .query import between_bitmap, filter_bitmap, select
+
+        if args.between is not None:
+            bm = between_bitmap(col, lo, hi)
+        else:
+            bm = filter_bitmap(col, args.op, parse(args.value))
+        np.save(args.select, select(col, bm))
+        out["selected"] = args.select
+    print(json.dumps(out))
+
+
+def cmd_groupby(args) -> None:
+    """GROUP BY over the compressed container: keys from a dictionary-
+    backed column, optional measure + optional predicate filter column."""
+    from .groupby import group_reduce
+    from .query import filter_bitmap
+    from .util import np_dtype
+
+    cols = _load_cols(args.input)
+    keys = cols[args.keys]
+    vals = cols[args.vals] if args.vals is not None else None
+    aggs = tuple(a.strip() for a in args.aggs.split(","))
+    bm = None
+    if args.where is not None:
+        wcol = cols[args.where]
+        parse = float if np_dtype(wcol.dtype).kind == "f" else int
+        bm = filter_bitmap(wcol, args.op, parse(args.value))
+    r = group_reduce(keys, vals, aggs, bitmap=bm)
+    for i in range(len(r.keys)):
+        row = {"key": r.keys[i].item(), "count": int(r.count[i])}
+        if r.sum is not None:
+            s = r.sum[i]
+            row["sum"] = s.item() if hasattr(s, "item") else s
+        if r.count[i]:
+            if r.min is not None:
+                row["min"] = r.min[i].item()
+            if r.max is not None:
+                row["max"] = r.max[i].item()
+        print(json.dumps(row))
 
 
 def cmd_agg(args) -> None:
@@ -201,7 +243,19 @@ def main(argv=None) -> None:
     q.add_argument("--op", default="eq", choices=("eq", "ne", "lt", "le", "gt", "ge"))
     q.add_argument("--value", default=None)
     q.add_argument("--between", nargs=2, metavar=("LO", "HI"), default=None)
+    q.add_argument("--select", default=None, metavar="OUT.npy",
+                   help="also materialize the matching values (decodes only groups with matches)")
     q.set_defaults(fn=cmd_query)
+
+    gb = sub.add_parser("groupby", help="per-key aggregates over a dictionary-backed key column")
+    gb.add_argument("input")
+    gb.add_argument("--keys", type=int, default=0, help="key column index (dict/cascade scheme)")
+    gb.add_argument("--vals", type=int, default=None, help="measure column index")
+    gb.add_argument("--aggs", default="count", help="comma list of count,sum,min,max")
+    gb.add_argument("--where", type=int, default=None, help="filter column index")
+    gb.add_argument("--op", default="eq", choices=("eq", "ne", "lt", "le", "gt", "ge"))
+    gb.add_argument("--value", default=None)
+    gb.set_defaults(fn=cmd_groupby)
 
     a = sub.add_parser("agg", help="fused aggregate (sum/min/max) without decoding")
     a.add_argument("input")

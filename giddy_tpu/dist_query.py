@@ -1,0 +1,236 @@
+"""Distributed scans: predicate pushdown and aggregates over a device mesh.
+
+Extends the new-scope multi-host dimension (SURVEY.md §3.11, CS-5) from
+plain decode to the DBMS scan pipeline: each shard decodes its group range
+with the same Pallas decoder `dist.py` uses and folds it locally into
+1-bit match words or per-(group, lane) aggregate partials; GSPMD keeps
+every fold shard-local because all reductions run along the unsharded
+slot axis. The only cross-shard traffic is the final O(ng x 128)-word
+result (host gather, or one all-reduce for scalar counts) — steady-state
+scan bytes never cross ICI/DCN, preserving the linear-scaling story.
+
+Pad positions (the ragged tail AND the whole groups added to round ng up
+to the shard count) are masked inside the fold via a global position
+iota, so they cannot contaminate counts, sums, or extrema.
+
+Exactness matches the single-chip layer: integer sums via byte-plane
+partials (32 slots x 255 < 2**13 per partial — int32-exact) plus sign
+counts; min/max on aggregate.py's monotone keys; float sums finish
+host-side in float64; 64-bit (wide) columns compose per 32-bit plane
+(sums/counts) or answer from host zone maps (min/max, like aggregate)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dist import build_sharded_decoder, default_mesh, dist_form
+from .format import EncodedColumn
+from .util import GROUP, LANES, SLOTS, cdiv, np_dtype, num_groups
+
+
+def _nd(mesh, axis) -> int:
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    return int(np.prod([mesh.shape[a] for a in axes]))
+
+
+_SCAN_CACHE: dict[tuple, object] = {}
+
+
+def _scan_fn(col: EncodedColumn, mesh, axis, mode: str, op: str | None):
+    """Cached jitted fold over the sharded decode. mode: 'filter' (needs
+    op; returns (ng_pad, LANES) match words), 'sum' (byte-plane + sign
+    partials), 'min'/'max' (key partials)."""
+    from .aggregate import _key_map_traced
+    from .query import _cmp
+
+    key = (col.static_key(), mode, op, tuple(mesh.axis_names), mesh.devices.shape,
+           axis if isinstance(axis, str) else tuple(axis))
+    hit = _SCAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    decode_fn, _ = build_sharded_decoder(col, mesh, axis)
+    ng_pad = cdiv(num_groups(col.n), _nd(mesh, axis)) * _nd(mesh, axis)
+    n = col.n
+    dt = np_dtype(col.dtype)
+    kind, itemsize = dt.kind, dt.itemsize
+
+    def fold(val, *dargs):
+        x = decode_fn(*dargs).reshape(ng_pad, SLOTS, LANES)
+        g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
+        s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
+        valid = (g * GROUP + s * LANES + lane) < n
+        if mode == "filter":
+            hits = (_cmp(x, val[0, 0], op, kind, itemsize) & valid).astype(jnp.uint32)
+            return jnp.sum(hits << s.astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+        if mode == "sum":
+            v = jnp.where(valid, x, jnp.uint32(0))
+            out = [
+                jnp.sum((v >> jnp.uint32(8 * b)) & jnp.uint32(0xFF), axis=1, dtype=jnp.uint32)
+                for b in range(itemsize)
+            ]
+            sh = jnp.uint32(8 * itemsize - 1)
+            out.append(jnp.sum((v >> sh) & jnp.uint32(1), axis=1, dtype=jnp.uint32))
+            return tuple(out)
+        keys = _key_map_traced(x, kind, itemsize)
+        init = jnp.int32(-(2**31)) if mode == "max" else jnp.int32(2**31 - 1)
+        keys = jnp.where(valid, keys, init)
+        red = jnp.max if mode == "max" else jnp.min
+        return red(keys, axis=1)
+
+    fn = jax.jit(fold)
+    _SCAN_CACHE[key] = fn
+    return fn
+
+
+def _args(col, mesh, axis):
+    # device placement is re-done per call (mirrors decode_sharded); the
+    # compiled fold above is what must not rebuild.
+    _, args = build_sharded_decoder(col, mesh, axis)
+    return args
+
+
+def filter_bitmap_sharded(col: EncodedColumn, op: str, value, mesh=None, axis="d"):
+    """Sharded twin of query.filter_bitmap: (ng, LANES) LMP(1) match words,
+    group-sharded over the mesh, pad bits already zeroed (composable with
+    the query.py bitmap algebra; no masking needed before counting)."""
+    from .query import _OPS, _stage_value
+
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    mesh = mesh or default_mesh(axis)
+    if col.scheme == "wide":
+        return _wide_filter_sharded(col, op, value, mesh, axis)
+    fn = _scan_fn(col, mesh, axis, "filter", op)
+    words = fn(jnp.asarray(_stage_value(col.dtype, value)), *_args(col, mesh, axis))
+    return words[: num_groups(col.n)]
+
+
+_COUNT_CACHE: dict[tuple, object] = {}
+
+
+def count_where_sharded(col: EncodedColumn, op: str, value, mesh=None, axis="d") -> int:
+    """Distributed predicate count: per-shard popcount partials, one scalar
+    all-reduce (the scan's only collective)."""
+    words = filter_bitmap_sharded(col, op, value, mesh, axis)
+    fn = _COUNT_CACHE.get("popcount")
+    if fn is None:
+
+        @jax.jit
+        def fn(x):
+            x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+            x = (x & jnp.uint32(0x33333333)) + ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+            x = (x + (x >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+            return jnp.sum((x * jnp.uint32(0x01010101)) >> jnp.uint32(24), dtype=jnp.uint32)
+
+        _COUNT_CACHE["popcount"] = fn
+    return int(fn(words))
+
+
+def _wide_filter_sharded(col, op, value, mesh, axis):
+    """Wide columns: both planes decode sharded; the 64-bit compare pieces
+    (hi, lo) halves exactly like query._wide_filter_fn."""
+    from . import wide
+    from .query import _stage_value_wide
+
+    lo_col, hi_col = wide._sub(col, "lo"), wide._sub(col, "hi")
+    kind = np_dtype(col.dtype).kind
+    nd = _nd(mesh, axis)
+    ng = num_groups(col.n)
+    ng_pad = cdiv(ng, nd) * nd
+    n = col.n
+    key = (col.static_key(), "wide-filter", op, tuple(mesh.axis_names),
+           mesh.devices.shape, axis if isinstance(axis, str) else tuple(axis))
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        dlo, _ = build_sharded_decoder(lo_col, mesh, axis)
+        dhi, _ = build_sharded_decoder(hi_col, mesh, axis)
+        n_lo = len(_args(lo_col, mesh, axis))
+
+        def fold(val, *dargs):
+            lo = dlo(*dargs[:n_lo]).reshape(ng_pad, SLOTS, LANES)
+            hi = dhi(*dargs[n_lo:]).reshape(ng_pad, SLOTS, LANES)
+            clo, chi_u = val[0, 0], val[0, 1]
+            if kind == "f":
+                neg = jnp.uint32(0) - (hi >> jnp.uint32(31))
+                hi = hi ^ (jnp.uint32(0x80000000) | neg)
+                lo = lo ^ neg
+                hi_o, chi_o = hi, chi_u
+            elif kind == "i":
+                hi_o = jax.lax.bitcast_convert_type(hi, jnp.int32)
+                chi_o = jax.lax.bitcast_convert_type(chi_u, jnp.int32)
+            else:
+                hi_o, chi_o = hi, chi_u
+            eq = (hi == chi_u) & (lo == clo)
+            lt = (hi_o < chi_o) | ((hi == chi_u) & (lo < clo))
+            hits = {"eq": eq, "ne": ~eq, "lt": lt,
+                    "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt}[op]
+            g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
+            s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
+            hits = (hits & ((g * GROUP + s * LANES + lane) < n)).astype(jnp.uint32)
+            return jnp.sum(hits << s.astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+
+        fn = _SCAN_CACHE[key] = jax.jit(fold)
+    val = jnp.asarray(_stage_value_wide(col.dtype, value))
+    words = fn(val, *_args(lo_col, mesh, axis), *_args(hi_col, mesh, axis))
+    return words[:ng]
+
+
+def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
+    """Distributed exact column sum (semantics of aggregate.sum_)."""
+    mesh = mesh or default_mesh(axis)
+    dt = np_dtype(col.dtype)
+    if dt.kind == "f":
+        from .dist import decode_sharded
+
+        return float(np.sum(np.asarray(decode_sharded(col, mesh, axis)), dtype=np.float64))
+    if col.scheme == "wide":
+        from . import wide
+
+        s_lo = _plane_sum_sharded(wide._sub(col, "lo"), mesh, axis)
+        hi = wide._sub(col, "hi")
+        s_hi = _plane_sum_sharded(hi, mesh, axis)
+        s = s_lo + (s_hi << 32)
+        if dt.kind == "i":
+            s -= count_where_sharded(hi, "ge", 1 << 31, mesh, axis) << 64
+        return s
+    fn = _scan_fn(col, mesh, axis, "sum", None)
+    parts = fn(None, *_args(col, mesh, axis))
+    w = dt.itemsize
+    s = sum(int(np.asarray(parts[b], np.int64).sum()) << (8 * b) for b in range(w))
+    if dt.kind == "i":
+        s -= int(np.asarray(parts[w], np.int64).sum()) << (8 * w)
+    return s
+
+
+def _plane_sum_sharded(plane_col, mesh, axis) -> int:
+    fn = _scan_fn(plane_col, mesh, axis, "sum", None)
+    parts = fn(None, *_args(plane_col, mesh, axis))
+    return sum(int(np.asarray(parts[b], np.int64).sum()) << (8 * b) for b in range(4))
+
+
+def _minmax_sharded(col, agg, mesh, axis):
+    from .aggregate import _key_unmap_host, _minmax
+
+    if col.scheme == "wide" or (col.scheme == "cascade" and col.params.get("dense")):
+        # wide answers from host zone maps; dense cascade from the
+        # dictionary — neither touches the mesh (same as aggregate._minmax)
+        return _minmax(col, agg)
+    mesh = mesh or default_mesh(axis)
+    fn = _scan_fn(col, mesh, axis, agg, None)
+    keys = np.asarray(fn(None, *_args(col, mesh, axis)))
+    best = int(keys.max()) if agg == "max" else int(keys.min())
+    return _key_unmap_host(best, col.dtype)
+
+
+def min_sharded(col: EncodedColumn, mesh=None, axis="d"):
+    """Distributed column minimum (float semantics: total order)."""
+    return _minmax_sharded(col, "min", mesh, axis)
+
+
+def max_sharded(col: EncodedColumn, mesh=None, axis="d"):
+    """Distributed column maximum (float semantics: total order)."""
+    return _minmax_sharded(col, "max", mesh, axis)

@@ -231,6 +231,33 @@ def _cascade_filter_bitmap(col: EncodedColumn, op: str, value):
     return acc
 
 
+def _stage_value(dtype: str, value) -> np.ndarray:
+    """Host-stage a comparison value into the (1, 1) form _cmp expects:
+    int32 for signed columns (wrap-exact via int64 staging), total-order-
+    mapped uint32 for floats, raw uint32 otherwise."""
+    dk = np_dtype(dtype).kind
+    if dk == "f":
+        u = np.float32(value).view(np.uint32)
+        neg = np.uint32(0xFFFFFFFF) if (u >> np.uint32(31)) else np.uint32(0)
+        return np.array([[u ^ (np.uint32(0x80000000) | neg)]], np.uint32)
+    ctype = np.int32 if dk == "i" else np.uint32
+    return np.array([[value]], dtype=np.int64).astype(np.uint32).view(ctype)
+
+
+def _stage_value_wide(dtype: str, value) -> np.ndarray:
+    """64-bit staging: (1, 2) uint32 [lo, hi] halves, floats pre-mapped to
+    the 64-bit total-order key."""
+    dk = np_dtype(dtype).kind
+    dt = {"i": np.int64, "u": np.uint64, "f": np.float64}[dk]
+    u = np.array(value, dtype=dt).view(np.uint64)
+    if dk == "f":
+        neg = np.uint64(0xFFFFFFFFFFFFFFFF) if (u >> np.uint64(63)) else np.uint64(0)
+        u = u ^ (np.uint64(0x8000000000000000) | neg)
+    return np.array(
+        [[u & np.uint64(0xFFFFFFFF), u >> np.uint64(32)]], np.uint64
+    ).astype(np.uint32)
+
+
 _FILTER_CACHE: dict[tuple, object] = {}
 
 
@@ -255,15 +282,7 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
         fn = _FILTER_CACHE.get(key)
         if fn is None:
             fn = _FILTER_CACHE[key] = _wide_filter_fn(col, op)
-        dk = np_dtype(col.dtype).kind
-        dt = {"i": np.int64, "u": np.uint64, "f": np.float64}[dk]
-        u = np.array(value, dtype=dt).view(np.uint64)
-        if dk == "f":  # pre-map to the 64-bit total-order key
-            neg = np.uint64(0xFFFFFFFFFFFFFFFF) if (u >> np.uint64(63)) else np.uint64(0)
-            u = u ^ (np.uint64(0x8000000000000000) | neg)
-        val = jnp.asarray(
-            np.array([[u & np.uint64(0xFFFFFFFF), u >> np.uint64(32)]], np.uint64).astype(np.uint32)
-        )
+        val = jnp.asarray(_stage_value_wide(col.dtype, value))
         return fn(
             device_streams(wide._sub(col, "lo")),
             device_streams(wide._sub(col, "hi")),
@@ -290,18 +309,7 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
 
             fn = jax.jit(general)
         _FILTER_CACHE[key] = fn
-    # the value crosses the jit boundary already in comparison form
-    # (per-column-static kind), wrap-exact via int64 staging for ints and
-    # total-order-mapped for floats
-    dk = np_dtype(col.dtype).kind
-    if dk == "f":
-        u = np.float32(value).view(np.uint32)
-        neg = np.uint32(0xFFFFFFFF) if (u >> np.uint32(31)) else np.uint32(0)
-        val = jnp.asarray(np.array([[u ^ (np.uint32(0x80000000) | neg)]], np.uint32))
-    else:
-        ctype = np.int32 if dk == "i" else np.uint32
-        val = jnp.asarray(np.array([[value]], dtype=np.int64).astype(np.uint32).view(ctype))
-    return fn(device_streams(col), val)
+    return fn(device_streams(col), jnp.asarray(_stage_value(col.dtype, value)))
 
 
 def _tail_mask(n: int) -> np.ndarray:
@@ -381,6 +389,25 @@ def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
     for v in vals[1:]:
         acc = acc | filter_bitmap(col, "eq", v)
     return acc
+
+
+def select(col: EncodedColumn, bitmap) -> np.ndarray:
+    """Materialize the values at the bitmap's set positions — the SELECT
+    half of a scan (bitmap from filter_bitmap over this or any other
+    column of the same length). Only the groups containing matches
+    decode (partial.take), so a selective predicate touches a fraction
+    of the column's bytes."""
+    from .partial import take
+    from .ref.lmp import lmp_unpack
+
+    words = np.asarray(bitmap).reshape(num_groups(col.n), LANES)
+    mask = lmp_unpack(words, 1, col.n).astype(bool)
+    return take(col, np.flatnonzero(mask))
+
+
+def select_where(col: EncodedColumn, op: str, value) -> np.ndarray:
+    """One-shot ``SELECT col WHERE col <op> value``."""
+    return select(col, filter_bitmap(col, op, value))
 
 
 def where_mask(col: EncodedColumn, op: str, value: int) -> np.ndarray:

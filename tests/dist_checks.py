@@ -103,6 +103,60 @@ def main() -> None:
         out = np.asarray(decode_sharded(col))
         np.testing.assert_array_equal(out, gt.decode_ref(col), err_msg=f"cascade-{inner}")
     print("[dist] cascade: ok", flush=True)
+    # distributed scans: predicate counts + exact aggregates on the mesh,
+    # incl. ragged tails AND whole pad groups (17 groups over 8 shards)
+    from giddy_tpu.dist_query import (
+        count_where_sharded, filter_bitmap_sharded, max_sharded, min_sharded, sum_sharded,
+    )
+
+    for scheme in ("nbit", "delta", "rle", "dict", "dzbv", "patched", "cascade"):
+        v = gen_column(scheme, 16 * GROUP + 421, rng)
+        col = gt.encode(v, scheme)
+        med = int(np.median(v))
+        assert count_where_sharded(col, "lt", med) == int((v < med).sum()), scheme
+        assert sum_sharded(col) == int(v.astype(np.int64).sum()), scheme
+        assert min_sharded(col) == int(v.min()), scheme
+        assert max_sharded(col) == int(v.max()), scheme
+    print("[dist] scans-int: ok", flush=True)
+    # bitmap output stays sharded; pad bits pre-masked (count needs no fixup)
+    col = gt.encode(gen_column("nbit", 16 * GROUP + 421, rng), "nbit")
+    words = filter_bitmap_sharded(col, "ge", 0)
+    assert len(words.sharding.device_set) == 8, words.sharding
+    # wide (64-bit) sharded scans: plane-pieced compares and exact sums
+    v64 = gen_column("wide", 16 * GROUP + 3, rng)
+    wcol = gt.encode(v64, "wide")
+    m64 = int(np.median(v64))
+    assert count_where_sharded(wcol, "lt", m64) == int((v64 < m64).sum())
+    assert sum_sharded(wcol) == int(np.sum(v64, dtype=object))
+    assert min_sharded(wcol) == int(v64.min()) and max_sharded(wcol) == int(v64.max())
+    # float32: total-order min/max, float64 host sum
+    fv = rng.normal(0, 100, 16 * GROUP + 99).astype(np.float32)
+    fcol = gt.encode(fv, "raw")
+    assert count_where_sharded(fcol, "lt", 0.0) == int((fv < 0.0).sum())
+    assert min_sharded(fcol) == fv.min() and max_sharded(fcol) == fv.max()
+    assert abs(sum_sharded(fcol) - np.sum(fv, dtype=np.float64)) < 1e-6
+    # scans on a 2D (hosts x chips) mesh
+    mesh2d, axes2d = host_chip_mesh(4, 2)
+    v = gen_column("for", 16 * GROUP + 421, rng)
+    col = gt.encode(v, "for")
+    med = int(np.median(v))
+    assert count_where_sharded(col, "lt", med, mesh2d, axes2d) == int((v < med).sum())
+    assert sum_sharded(col, mesh2d, axes2d) == int(v.astype(np.int64).sum())
+    print("[dist] scans-wide-float: ok", flush=True)
+    # the filter fold itself must be collective-free (the bitmap stays
+    # sharded; only a scalar count ever all-reduces)
+    from giddy_tpu.dist_query import _args, _scan_fn
+    from giddy_tpu.query import _stage_value
+    import jax.numpy as jnp
+
+    col = gt.encode(gen_column("delta", 16 * GROUP, rng), "delta")
+    fn = _scan_fn(col, default_mesh(), "d", "filter", "lt")
+    hlo = fn.lower(
+        jnp.asarray(_stage_value(col.dtype, 0)), *_args(col, default_mesh(), "d")
+    ).compile().as_text().lower()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, coll
+    print("[dist] zero-collective-scan: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).

@@ -203,3 +203,55 @@ def test_cascade_narrow_signed_pushdown():
     col = gt.encode(v, "cascade", codes_scheme="rle")
     np.testing.assert_array_equal(where_mask(col, "lt", 0), v < 0)
     np.testing.assert_array_equal(where_mask(col, "ge", 4), v >= 4)
+
+
+# --- selection materialization --------------------------------------------
+
+
+def test_select_where_matches_numpy():
+    from giddy_tpu.query import filter_bitmap, select, select_where
+
+    rng = np.random.default_rng(60)
+    n = 3 * GROUP + 201
+    v = rng.integers(0, 1000, n).astype(np.int32)
+    col = gt.encode(v, "for")
+    np.testing.assert_array_equal(select_where(col, "lt", 100), v[v < 100])
+    # cross-column: predicate on one column materializes another
+    w = rng.integers(-500, 500, n).astype(np.int32)
+    wcol = gt.encode(w, "raw")
+    bm = filter_bitmap(col, "ge", 900)
+    np.testing.assert_array_equal(select(wcol, bm), w[v >= 900])
+    # empty result
+    assert select_where(col, "gt", 10**6).size == 0
+
+
+def test_cli_query_select_and_groupby(tmp_path, capsys):
+    import json
+
+    from giddy_tpu.cli import main
+    from giddy_tpu.format import write_container
+
+    rng = np.random.default_rng(61)
+    n = GROUP + 33
+    k = np.array([5, 8, 13], np.int32)[rng.integers(0, 3, n)]
+    v = rng.integers(0, 10**6, n).astype(np.int32)
+    cols = [gt.encode(k, "cascade", name="k"), gt.encode(v, "nbit", name="v")]
+    path = tmp_path / "t.gtp"
+    with open(path, "wb") as f:
+        write_container(cols, f)
+    sel = tmp_path / "sel.npy"
+    main(["query", str(path), "--column", "1", "--op", "lt", "--value", "1000",
+          "--select", str(sel)])
+    np.testing.assert_array_equal(np.load(sel), v[v < 1000])
+    capsys.readouterr()
+    main(["groupby", str(path), "--keys", "0", "--vals", "1",
+          "--aggs", "count,sum,min,max", "--where", "1", "--op", "ge",
+          "--value", "500000"])
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    mask = v >= 500000
+    for row in rows:
+        sel_v = v[mask & (k == row["key"])]
+        assert row["count"] == sel_v.size
+        assert row["sum"] == int(sel_v.astype(np.int64).sum())
+        if sel_v.size:
+            assert row["min"] == sel_v.min() and row["max"] == sel_v.max()
