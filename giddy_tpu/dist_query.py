@@ -234,3 +234,172 @@ def min_sharded(col: EncodedColumn, mesh=None, axis="d"):
 def max_sharded(col: EncodedColumn, mesh=None, axis="d"):
     """Distributed column maximum (float semantics: total order)."""
     return _minmax_sharded(col, "max", mesh, axis)
+
+
+# --- distributed GROUP BY ---------------------------------------------------
+
+
+def _gb_fold(keys, vals, mesh, axis, *, want_count, sum_bytes, want_neg,
+             want_minmax, has_bitmap, val_kind="u", val_itemsize=4):
+    """Sharded twin of groupby._build_device_fn: decode codes (+measure)
+    via the sharded decoders, fold into per-key segment partials under
+    GSPMD. Segment outputs are O(d) — the only cross-shard traffic."""
+    from .aggregate import _key_map_traced
+    from .groupby import CHUNK_GROUPS, _codes_device_column
+
+    key = ("gb", keys.static_key(), vals.static_key() if vals is not None else None,
+           (want_count, sum_bytes, want_neg, want_minmax, has_bitmap, CHUNK_GROUPS),
+           tuple(mesh.axis_names), mesh.devices.shape,
+           axis if isinstance(axis, str) else tuple(axis))
+    hit = _SCAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = keys.params["dict_size"]
+    n = keys.n
+    ng = num_groups(n)
+    ng_pad = cdiv(ng, _nd(mesh, axis)) * _nd(mesh, axis)
+    nchunks = cdiv(ng_pad, CHUNK_GROUPS)
+    ccol = _codes_device_column(keys)
+    kdec, _ = build_sharded_decoder(ccol, mesh, axis)
+    n_kargs = len(_args(ccol, mesh, axis))
+    vdec = build_sharded_decoder(vals, mesh, axis)[0] if vals is not None else None
+
+    def fold(bm, *dargs):
+        codes = jax.lax.bitcast_convert_type(
+            kdec(*dargs[:n_kargs]), jnp.int32
+        ).reshape(ng_pad, SLOTS, LANES)
+        g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
+        s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
+        valid = (g * GROUP + s * LANES + lane) < n
+        if bm is not None:
+            bm_p = jnp.pad(bm, ((0, ng_pad - bm.shape[0]), (0, 0)))
+            bit = (bm_p[:, None, :] >> s.astype(jnp.uint32)) & jnp.uint32(1)
+            valid = valid & (bit == jnp.uint32(1))
+        seg = jnp.where(valid, codes, jnp.int32(d)).reshape(-1)
+        out = {}
+        if want_count:
+            out["count"] = jax.ops.segment_sum(
+                jnp.ones((ng_pad * GROUP,), jnp.uint32), seg, num_segments=d + 1
+            )
+        if vdec is not None:
+            v = vdec(*dargs[n_kargs:]).reshape(-1)
+            if sum_bytes:
+                cseg = (g // CHUNK_GROUPS).reshape(-1) * (d + 1) + seg
+                for b in range(sum_bytes):
+                    out[f"b{b}"] = jax.ops.segment_sum(
+                        (v >> jnp.uint32(8 * b)) & jnp.uint32(0xFF),
+                        cseg, num_segments=nchunks * (d + 1),
+                    )
+            if want_neg:
+                sign = (v >> jnp.uint32(8 * val_itemsize - 1)) & jnp.uint32(1)
+                out["neg"] = jax.ops.segment_sum(sign, seg, num_segments=d + 1)
+            if want_minmax:
+                k = _key_map_traced(v, val_kind, val_itemsize)
+                out["min"] = jax.ops.segment_min(k, seg, num_segments=d + 1)
+                out["max"] = jax.ops.segment_max(k, seg, num_segments=d + 1)
+        return out
+
+    fn = jax.jit(fold)
+    _SCAN_CACHE[key] = fn
+    return fn
+
+
+def _gb_run(keys, vals, bitmap, mesh, axis, **flags):
+    from .groupby import _codes_device_column
+
+    fn = _gb_fold(keys, vals, mesh, axis, has_bitmap=bitmap is not None, **flags)
+    dargs = list(_args(_codes_device_column(keys), mesh, axis))
+    if vals is not None:
+        dargs += list(_args(vals, mesh, axis))
+    bm = jnp.asarray(bitmap) if bitmap is not None else None
+    out = fn(bm, *dargs)
+    return {k: np.asarray(a) for k, a in out.items()}
+
+
+def group_reduce_sharded(keys, vals=None, aggs=("count",), bitmap=None,
+                         mesh=None, axis="d"):
+    """Distributed groupby.group_reduce: same semantics and GroupResult,
+    with codes and measures decoding sharded over the mesh. Float sums and
+    wide min/max decode sharded, then finish host-side (like the
+    single-chip layer); everything else stays on device."""
+    from . import groupby as gb
+
+    mesh = mesh or default_mesh(axis)
+    aggs = tuple(aggs)
+    for a in aggs:
+        if a not in gb._AGGS:
+            raise ValueError(f"agg must be one of {gb._AGGS}, got {a!r}")
+    need_vals = any(a != "count" for a in aggs)
+    if need_vals and vals is None:
+        raise ValueError("sum/min/max require a values column")
+    if vals is not None and vals.n != keys.n:
+        raise ValueError(f"length mismatch: keys n={keys.n}, vals n={vals.n}")
+    if keys.scheme not in ("dict", "cascade"):
+        gb._codes_device_column(keys)  # raises the explanatory ValueError
+
+    d = keys.params["dict_size"]
+    kv = gb.key_values(keys)
+    vdt = np_dtype(vals.dtype) if vals is not None else None
+    want_sum = "sum" in aggs
+    want_minmax = ("min" in aggs) or ("max" in aggs)
+    res = gb.GroupResult(keys=kv, count=None)
+
+    def _host_mask():
+        return gb._host_mask(keys.n, np.asarray(bitmap)) if bitmap is not None else None
+
+    if vals is not None and vals.scheme == "wide":
+        from . import wide
+
+        res.count = _gb_run(keys, None, bitmap, mesh, axis, want_count=True,
+                            sum_bytes=0, want_neg=False, want_minmax=False)["count"][:d].astype(np.int64)
+        if want_sum:
+            lo_p = _gb_run(keys, wide._sub(vals, "lo"), bitmap, mesh, axis,
+                           want_count=False, sum_bytes=4, want_neg=False, want_minmax=False)
+            hi_p = _gb_run(keys, wide._sub(vals, "hi"), bitmap, mesh, axis,
+                           want_count=False, sum_bytes=4, want_neg=True, want_minmax=False)
+            lo_s = gb._finish_sum(lo_p, d, 4, signed=False)
+            hi_s = gb._finish_sum(hi_p, d, 4, signed=False)
+            total = [int(lo) + (int(h) << 32) for lo, h in zip(lo_s, hi_s)]
+            if vdt.kind == "i":
+                neg = hi_p["neg"][:d].astype(np.int64)
+                total = [t - (int(nn) << 64) for t, nn in zip(total, neg)]
+            res.sum = np.array(total, dtype=object)
+        if want_minmax:
+            from .dist import decode_sharded
+
+            codes = gb._codes_host(keys)
+            v = np.asarray(decode_sharded(vals, mesh, axis))
+            mn, mx = gb._host_group_minmax(codes, v, d, _host_mask())
+            if "min" in aggs:
+                res.min = mn
+            if "max" in aggs:
+                res.max = mx
+        return res
+
+    flags = dict(want_count=True, sum_bytes=0, want_neg=False, want_minmax=False)
+    if vals is not None:
+        flags["val_kind"] = vdt.kind
+        flags["val_itemsize"] = vdt.itemsize
+        if want_sum and vdt.kind != "f":
+            flags["sum_bytes"] = vdt.itemsize
+            flags["want_neg"] = vdt.kind == "i"
+        if want_minmax:
+            flags["want_minmax"] = True
+    out = _gb_run(keys, vals if need_vals else None, bitmap, mesh, axis, **flags)
+    res.count = out["count"][:d].astype(np.int64)
+    if vals is not None and want_sum:
+        if vdt.kind == "f":
+            from .dist import decode_sharded
+
+            codes = gb._codes_host(keys)
+            v = np.asarray(decode_sharded(vals, mesh, axis))
+            res.sum = gb._host_group_sum_float(codes, v, d, _host_mask())
+        else:
+            res.sum = gb._finish_sum(out, d, vdt.itemsize, vdt.kind == "i")
+    if vals is not None and want_minmax:
+        if "min" in aggs:
+            res.min = gb._unmap_keys_host(out["min"][:d], vals.dtype)
+        if "max" in aggs:
+            res.max = gb._unmap_keys_host(out["max"][:d], vals.dtype)
+    return res

@@ -143,6 +143,37 @@ def main() -> None:
     assert count_where_sharded(col, "lt", med, mesh2d, axes2d) == int((v < med).sum())
     assert sum_sharded(col, mesh2d, axes2d) == int(v.astype(np.int64).sum())
     print("[dist] scans-wide-float: ok", flush=True)
+    # distributed GROUP BY: per-key partials over the mesh, exact vs numpy
+    from giddy_tpu.dist_query import group_reduce_sharded
+
+    vocab = np.arange(12, dtype=np.int32) * 5 - 20
+    kv = vocab[rng.integers(0, 12, 16 * GROUP + 421)]
+    keys = gt.encode(kv, "cascade")
+    mv = rng.integers(-(2**20), 2**20, kv.size).astype(np.int32)
+    vals = gt.encode(mv, "for")
+    r = group_reduce_sharded(keys, vals, ("count", "sum", "min", "max"))
+    codes = np.searchsorted(vocab, kv)
+    for c in range(12):
+        sel = mv[codes == c]
+        assert r.count[c] == sel.size
+        assert r.sum[c] == int(sel.astype(np.int64).sum())
+        assert r.min[c] == sel.min() and r.max[c] == sel.max()
+    # filtered by a sharded bitmap from another column
+    bm = filter_bitmap_sharded(vals, "ge", 0)
+    r2 = group_reduce_sharded(keys, vals, ("count", "sum"), bitmap=bm)
+    m = mv >= 0
+    for c in range(12):
+        sel = mv[m & (codes == c)]
+        assert r2.count[c] == sel.size and r2.sum[c] == int(sel.astype(np.int64).sum())
+    # wide (64-bit) measures: per-plane sharded sums, host min/max
+    m64 = rng.integers(-(2**40), 2**40, kv.size, dtype=np.int64)
+    w64 = gt.encode(m64, "wide")
+    r3 = group_reduce_sharded(keys, w64, ("sum", "min", "max"))
+    for c in range(12):
+        sel = m64[codes == c]
+        assert r3.sum[c] == int(sel.astype(object).sum())
+        assert r3.min[c] == sel.min() and r3.max[c] == sel.max()
+    print("[dist] groupby: ok", flush=True)
     # the filter fold itself must be collective-free (the bitmap stays
     # sharded; only a scalar count ever all-reduces)
     from giddy_tpu.dist_query import _args, _scan_fn
