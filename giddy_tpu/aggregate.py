@@ -212,6 +212,15 @@ def sum_(col: EncodedColumn) -> int | float:
     (lo, hi, sign-count) accumulators); floats decode and reduce host-side
     in float64."""
     dt = np_dtype(col.dtype)
+    if col.scheme == "cascade" and dt.kind != "f":
+        # dict-domain pushdown: sum = sum_c count_c * dict_c — one device
+        # pass over the CODES only (the value gather never runs), then an
+        # exact O(dict_size) host dot in Python ints
+        from .groupby import group_reduce, key_values
+
+        counts = group_reduce(col, None, ("count",)).count
+        vals = key_values(col).astype(np.int64)
+        return int(sum(int(c) * int(v) for c, v in zip(counts, vals)))
     if dt.kind == "f":
         from .api import decode
 
@@ -268,6 +277,33 @@ def _minmax(col: EncodedColumn, agg: str):
     k = np.asarray(keys)
     best = int(k.max()) if agg == "max" else int(k.min())
     return _key_unmap_host(best, col.dtype)
+
+
+def avg_(col: EncodedColumn) -> float:
+    """Column mean: exact sum / n (float64)."""
+    if col.n == 0:
+        raise ValueError("avg of an empty column")
+    return float(sum_(col)) / col.n
+
+
+def distinct_count(col: EncodedColumn) -> int:
+    """Number of distinct values (floats in bitpattern space: distinct NaN
+    payloads count separately, matching the dictionary-build semantics).
+    Dense (auto-built) cascade dictionaries answer O(1) from the header;
+    other dictionary-backed columns count codes in use with a device code
+    scan; everything else decodes and uniques host-side."""
+    if col.scheme == "cascade" and col.params.get("dense"):
+        return col.params["dict_size"]
+    if col.scheme in ("dict", "cascade"):
+        from .groupby import group_count
+
+        return int(np.count_nonzero(group_count(col).count))
+    from .api import decode
+
+    v = np.asarray(decode(col))
+    if v.dtype.kind == "f":  # bitpattern distinctness (NaN payloads)
+        v = v.view(np.uint64 if v.dtype.itemsize == 8 else np.uint32)
+    return int(np.unique(v).size)
 
 
 def min_(col: EncodedColumn):

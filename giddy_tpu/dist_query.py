@@ -183,6 +183,14 @@ def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
     """Distributed exact column sum (semantics of aggregate.sum_)."""
     mesh = mesh or default_mesh(axis)
     dt = np_dtype(col.dtype)
+    if col.scheme == "cascade" and dt.kind != "f":
+        # dict-domain pushdown, sharded: count codes on the mesh, exact
+        # O(dict_size) host dot (twin of aggregate.sum_'s cascade path)
+        from .groupby import key_values
+
+        counts = group_reduce_sharded(col, None, ("count",), mesh=mesh, axis=axis).count
+        vals = key_values(col).astype(np.int64)
+        return int(sum(int(c) * int(v) for c, v in zip(counts, vals)))
     if dt.kind == "f":
         from .dist import decode_sharded
 

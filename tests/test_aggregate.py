@@ -108,3 +108,36 @@ def test_cascade_sum_exact():
     v = gen_column("cascade", 3 * GROUP + 77, rng)
     col = gt.encode(v, "cascade")
     assert sum_(col) == int(np.sum(v.astype(np.int64)))
+
+
+def test_cascade_sum_pushdown_signed_narrow():
+    """Cascade sums answer from code counts x dictionary (no gather);
+    negative narrow vocabularies must stay exact."""
+    rng = np.random.default_rng(108)
+    vocab = np.array([-30000, -7, 0, 12, 29999], np.int16)
+    v = vocab[rng.integers(0, 5, 2 * GROUP + 19)]
+    col = gt.encode(v, "cascade", codes_scheme="rle")
+    assert sum_(col) == int(np.sum(v.astype(np.int64)))
+
+
+def test_avg_and_distinct_count():
+    from giddy_tpu.aggregate import avg_, distinct_count
+
+    rng = np.random.default_rng(109)
+    v = vocab = None
+    vocab = np.array([2, 9, 2024, -5], np.int32)
+    v = vocab[rng.integers(0, 4, GROUP + 77)]
+    col = gt.encode(v, "cascade")
+    assert distinct_count(col) == 4  # dense dictionary: O(1) from header
+    assert avg_(col) == np.mean(v.astype(np.float64))
+    # explicit dictionary with unused entries: device code scan
+    big = np.concatenate([vocab, np.array([10**6], np.int32)])
+    col2 = gt.encode(v, "cascade", dictionary=big)
+    assert distinct_count(col2) == 4
+    # non-dictionary scheme: decode + unique fallback
+    w = rng.integers(0, 50, GROUP + 3).astype(np.int32)
+    colw = gt.encode(w, "nbit")
+    assert distinct_count(colw) == int(np.unique(w).size)
+    assert avg_(colw) == np.mean(w.astype(np.float64))
+    with pytest.raises(ValueError):
+        avg_(gt.encode(np.zeros(0, np.int32), "raw"))
