@@ -212,7 +212,7 @@ def sum_(col: EncodedColumn) -> int | float:
     (lo, hi, sign-count) accumulators); floats decode and reduce host-side
     in float64."""
     dt = np_dtype(col.dtype)
-    if col.scheme == "cascade" and dt.kind != "f":
+    if col.scheme in ("cascade", "dict") and dt.kind != "f":
         # dict-domain pushdown: sum = sum_c count_c * dict_c — one device
         # pass over the CODES only (the value gather never runs), then an
         # exact O(dict_size) host dot in Python ints
@@ -245,10 +245,10 @@ def sum_(col: EncodedColumn) -> int | float:
 
 def _minmax(col: EncodedColumn, agg: str):
     dt = np_dtype(col.dtype)
-    if col.scheme == "cascade" and col.params.get("dense"):
+    if col.scheme in ("cascade", "dict") and col.params.get("dense"):
         # auto-built dictionary: every entry appears at least once, so the
         # column extreme is the dictionary extreme — host O(dict_size), no
-        # decode at all (the cascade twin of query.py's dict-domain pushdown)
+        # decode at all (the dictionary twin of query.py's domain pushdown)
         from .query import _host_key_u32
         from .util import u32_to_dtype
 
@@ -292,7 +292,7 @@ def distinct_count(col: EncodedColumn) -> int:
     Dense (auto-built) cascade dictionaries answer O(1) from the header;
     other dictionary-backed columns count codes in use with a device code
     scan; everything else decodes and uniques host-side."""
-    if col.scheme == "cascade" and col.params.get("dense"):
+    if col.scheme in ("cascade", "dict") and col.params.get("dense"):
         return col.params["dict_size"]
     if col.scheme in ("dict", "cascade"):
         from .groupby import group_count

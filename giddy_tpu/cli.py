@@ -91,18 +91,20 @@ def cmd_validate(args) -> None:
 def cmd_query(args) -> None:
     """Predicate pushdown straight off the compressed container — decode
     never materializes, only the 1-bit-per-element match bitmap does."""
-    from .query import count_between, count_where
+    from .query import between_bitmap, count_bits, filter_bitmap
     from .util import np_dtype
 
     col = _load_cols(args.input)[args.column]
     parse = float if np_dtype(col.dtype).kind == "f" else int
+    # build the match bitmap once; count (and --select) share it
     if args.between is not None:
         lo, hi = (parse(x) for x in args.between)
-        cnt, label = count_between(col, lo, hi), f"{lo} <= x <= {hi}"
+        bm, label = between_bitmap(col, lo, hi), f"{lo} <= x <= {hi}"
     else:
         if args.value is None:
             sys.exit("giddy-tpu query: need --value N (or --between LO HI)")
-        cnt, label = count_where(col, args.op, parse(args.value)), f"x {args.op} {args.value}"
+        bm, label = filter_bitmap(col, args.op, parse(args.value)), f"x {args.op} {args.value}"
+    cnt = count_bits(bm, col.n)
     out = {
         "column": col.name, "scheme": col.scheme, "predicate": label,
         "count": cnt, "n": col.n, "selectivity": round(cnt / max(col.n, 1), 6),
@@ -110,12 +112,8 @@ def cmd_query(args) -> None:
     if args.select is not None:
         import numpy as np
 
-        from .query import between_bitmap, filter_bitmap, select
+        from .query import select
 
-        if args.between is not None:
-            bm = between_bitmap(col, lo, hi)
-        else:
-            bm = filter_bitmap(col, args.op, parse(args.value))
         np.save(args.select, select(col, bm))
         out["selected"] = args.select
     print(json.dumps(out))
@@ -134,6 +132,8 @@ def cmd_groupby(args) -> None:
     aggs = tuple(a.strip() for a in args.aggs.split(","))
     bm = None
     if args.where is not None:
+        if args.value is None:
+            sys.exit("giddy-tpu groupby: --where needs --value N (and --op)")
         wcol = cols[args.where]
         parse = float if np_dtype(wcol.dtype).kind == "f" else int
         bm = filter_bitmap(wcol, args.op, parse(args.value))

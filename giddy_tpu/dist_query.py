@@ -85,10 +85,23 @@ def _scan_fn(col: EncodedColumn, mesh, axis, mode: str, op: str | None):
     return fn
 
 
+# Placed-argument cache: keyed by column identity (static_key alone would
+# alias distinct columns with equal shapes/params but different data) and
+# mesh configuration; holding the column keeps its id from being reused.
+_ARGS_CACHE: dict[tuple, tuple[EncodedColumn, list]] = {}
+
+
 def _args(col, mesh, axis):
-    # device placement is re-done per call (mirrors decode_sharded); the
-    # compiled fold above is what must not rebuild.
+    """Sharded device placement of the column's streams, cached per
+    (column identity, mesh) — repeated scans (or the several folds of one
+    group_reduce_sharded) re-place nothing."""
+    key = (id(col), tuple(mesh.axis_names), mesh.devices.shape,
+           axis if isinstance(axis, str) else tuple(axis))
+    hit = _ARGS_CACHE.get(key)
+    if hit is not None and hit[0] is col:
+        return hit[1]
     _, args = build_sharded_decoder(col, mesh, axis)
+    _ARGS_CACHE[key] = (col, args)
     return args
 
 
@@ -114,18 +127,14 @@ _COUNT_CACHE: dict[tuple, object] = {}
 def count_where_sharded(col: EncodedColumn, op: str, value, mesh=None, axis="d") -> int:
     """Distributed predicate count: per-shard popcount partials, one scalar
     all-reduce (the scan's only collective)."""
+    from .query import popcount_words
+
     words = filter_bitmap_sharded(col, op, value, mesh, axis)
     fn = _COUNT_CACHE.get("popcount")
     if fn is None:
-
-        @jax.jit
-        def fn(x):
-            x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
-            x = (x & jnp.uint32(0x33333333)) + ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
-            x = (x + (x >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
-            return jnp.sum((x * jnp.uint32(0x01010101)) >> jnp.uint32(24), dtype=jnp.uint32)
-
-        _COUNT_CACHE["popcount"] = fn
+        fn = _COUNT_CACHE["popcount"] = jax.jit(
+            lambda x: jnp.sum(popcount_words(x), dtype=jnp.uint32)
+        )
     return int(fn(words))
 
 
@@ -150,23 +159,11 @@ def _wide_filter_sharded(col, op, value, mesh, axis):
         n_lo = len(_args(lo_col, mesh, axis))
 
         def fold(val, *dargs):
+            from .query import _wide_hits
+
             lo = dlo(*dargs[:n_lo]).reshape(ng_pad, SLOTS, LANES)
             hi = dhi(*dargs[n_lo:]).reshape(ng_pad, SLOTS, LANES)
-            clo, chi_u = val[0, 0], val[0, 1]
-            if kind == "f":
-                neg = jnp.uint32(0) - (hi >> jnp.uint32(31))
-                hi = hi ^ (jnp.uint32(0x80000000) | neg)
-                lo = lo ^ neg
-                hi_o, chi_o = hi, chi_u
-            elif kind == "i":
-                hi_o = jax.lax.bitcast_convert_type(hi, jnp.int32)
-                chi_o = jax.lax.bitcast_convert_type(chi_u, jnp.int32)
-            else:
-                hi_o, chi_o = hi, chi_u
-            eq = (hi == chi_u) & (lo == clo)
-            lt = (hi_o < chi_o) | ((hi == chi_u) & (lo < clo))
-            hits = {"eq": eq, "ne": ~eq, "lt": lt,
-                    "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt}[op]
+            hits = _wide_hits(lo, hi, val[0, 0], val[0, 1], kind, op)
             g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
             s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
@@ -183,9 +180,9 @@ def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
     """Distributed exact column sum (semantics of aggregate.sum_)."""
     mesh = mesh or default_mesh(axis)
     dt = np_dtype(col.dtype)
-    if col.scheme == "cascade" and dt.kind != "f":
+    if col.scheme in ("cascade", "dict") and dt.kind != "f":
         # dict-domain pushdown, sharded: count codes on the mesh, exact
-        # O(dict_size) host dot (twin of aggregate.sum_'s cascade path)
+        # O(dict_size) host dot (twin of aggregate.sum_'s dictionary path)
         from .groupby import key_values
 
         counts = group_reduce_sharded(col, None, ("count",), mesh=mesh, axis=axis).count
@@ -223,9 +220,11 @@ def _plane_sum_sharded(plane_col, mesh, axis) -> int:
 def _minmax_sharded(col, agg, mesh, axis):
     from .aggregate import _key_unmap_host, _minmax
 
-    if col.scheme == "wide" or (col.scheme == "cascade" and col.params.get("dense")):
-        # wide answers from host zone maps; dense cascade from the
-        # dictionary — neither touches the mesh (same as aggregate._minmax)
+    if col.scheme == "wide" or (
+        col.scheme in ("cascade", "dict") and col.params.get("dense")
+    ):
+        # wide answers from host zone maps; dense dictionaries from the
+        # dictionary itself — neither touches the mesh (aggregate._minmax)
         return _minmax(col, agg)
     mesh = mesh or default_mesh(axis)
     fn = _scan_fn(col, mesh, axis, agg, None)
@@ -361,11 +360,20 @@ def group_reduce_sharded(keys, vals=None, aggs=("count",), bitmap=None,
 
         res.count = _gb_run(keys, None, bitmap, mesh, axis, want_count=True,
                             sum_bytes=0, want_neg=False, want_minmax=False)["count"][:d].astype(np.int64)
-        if want_sum:
+        if want_sum and vdt.kind == "f":
+            # float64 planes sum as bitpatterns only losslessly via a
+            # decode: finish host-side in float64 (aggregate.sum_ stance)
+            from .dist import decode_sharded
+
+            codes = gb._codes_host(keys)
+            v = np.asarray(decode_sharded(vals, mesh, axis))
+            res.sum = gb._host_group_sum_float(codes, v, d, _host_mask())
+        elif want_sum:
             lo_p = _gb_run(keys, wide._sub(vals, "lo"), bitmap, mesh, axis,
                            want_count=False, sum_bytes=4, want_neg=False, want_minmax=False)
             hi_p = _gb_run(keys, wide._sub(vals, "hi"), bitmap, mesh, axis,
-                           want_count=False, sum_bytes=4, want_neg=True, want_minmax=False)
+                           want_count=False, sum_bytes=4, want_neg=vdt.kind == "i",
+                           want_minmax=False)
             lo_s = gb._finish_sum(lo_p, d, 4, signed=False)
             hi_s = gb._finish_sum(hi_p, d, 4, signed=False)
             total = [int(lo) + (int(h) << 32) for lo, h in zip(lo_s, hi_s)]

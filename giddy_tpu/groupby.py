@@ -314,16 +314,26 @@ def group_reduce(
 
     if vals is not None and vals.scheme == "wide":
         res.count = _group_count(keys, bitmap, d)
-        if want_sum:
+        if want_sum and vdt.kind == "f":
+            # float64 planes sum as bitpatterns only losslessly via a
+            # decode: finish host-side in float64 (aggregate.sum_ stance)
+            codes = _codes_host(keys)
+            res.sum = _host_group_sum_float(
+                codes, _host_decoded(vals), d, _host_mask(keys.n, bitmap)
+            )
+        elif want_sum:
             from . import wide
 
-            lo_s = _plane_group_sum(keys, wide._sub(vals, "lo"), bitmap, d, signed=False)
-            hi = wide._sub(vals, "hi")
-            hi_s = _plane_group_sum(keys, hi, bitmap, d, signed=False)
-            hi_neg = _plane_group_neg(keys, hi, bitmap, d)
+            lo_p = _plane_group_parts(keys, wide._sub(vals, "lo"), bitmap, want_neg=False)
+            hi_p = _plane_group_parts(
+                keys, wide._sub(vals, "hi"), bitmap, want_neg=vdt.kind == "i"
+            )
+            lo_s = _finish_sum(lo_p, d, 4, signed=False)
+            hi_s = _finish_sum(hi_p, d, 4, signed=False)
             total = [int(lo) + (int(h) << 32) for lo, h in zip(lo_s, hi_s)]
             if vdt.kind == "i":
-                total = [t - (int(nn) << 64) for t, nn in zip(total, hi_neg)]
+                neg = hi_p["neg"][:d].astype(np.int64)
+                total = [t - (int(nn) << 64) for t, nn in zip(total, neg)]
             res.sum = np.array(total, dtype=object)
         if want_minmax:
             codes = _codes_host(keys)
@@ -375,34 +385,20 @@ def _group_count(keys, bitmap, d) -> np.ndarray:
     return out["count"][:d].astype(np.int64)
 
 
-def _plane_group_sum(keys, plane_col, bitmap, d, *, signed) -> np.ndarray:
-    out = _run_device(
+def _plane_group_parts(keys, plane_col, bitmap, *, want_neg) -> dict:
+    """One device pass over a 32-bit plane: per-key byte sums (and, for
+    the hi plane of signed measures, sign-bit counts in the same pass)."""
+    return _run_device(
         keys,
         plane_col,
         bitmap,
         want_count=False,
         sum_bytes=4,
-        want_neg=signed,
+        want_neg=want_neg,
         want_minmax=False,
         val_kind="u",
         val_itemsize=4,
     )
-    return _finish_sum(out, d, 4, signed)
-
-
-def _plane_group_neg(keys, plane_col, bitmap, d) -> np.ndarray:
-    out = _run_device(
-        keys,
-        plane_col,
-        bitmap,
-        want_count=False,
-        sum_bytes=0,
-        want_neg=True,
-        want_minmax=False,
-        val_kind="u",
-        val_itemsize=4,
-    )
-    return out["neg"][:d].astype(np.int64)
 
 
 def group_count(keys: EncodedColumn, bitmap=None) -> GroupResult:

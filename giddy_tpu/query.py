@@ -18,12 +18,12 @@ values match float semantics exactly; the deviations are -0.0 < +0.0
 (and != +0.0), and NaNs ordered at the extremes instead of
 all-comparisons-false.
 
-Cascade columns get a **dict-domain pushdown**: the predicate is evaluated
-over the dictionary host-side (O(dict_size)) and rewritten as inner-code
-range scans — the value gather never runs, and when the inner scheme is
-nbit/for/dzbf the scan is the fused epilogue kernel. Fragmented match sets
-(possible only with unsorted explicit dictionaries) fall back to
-decode+compare.
+Dictionary-backed columns (dict and cascade) get a **dict-domain
+pushdown**: the predicate is evaluated over the dictionary host-side
+(O(dict_size)) and rewritten as code range scans — the value gather never
+runs, and when the code scheme is nbit/for/dzbf the scan is the fused
+epilogue kernel. Fragmented match sets (possible only with unsorted
+explicit dictionaries) fall back to decode+compare.
 """
 
 from __future__ import annotations
@@ -126,11 +126,34 @@ def _epilogue_filter_call(col: EncodedColumn, op: str):
     return lambda streams, val: call(val, streams["packed"])
 
 
+def _wide_hits(lo, hi, clo, chi_u, kind: str, op: str):
+    """64-bit comparison pieced from 32-bit (lo, hi) plane halves: hi
+    ordered in the logical signedness (floats via the total-order key —
+    flip all 64 bits of negatives, only the sign bit of non-negatives;
+    the value halves arrive pre-mapped), lo always unsigned. Returns the
+    boolean hit array (shared with dist_query's sharded twin)."""
+    if kind == "f":
+        neg = jnp.uint32(0) - (hi >> jnp.uint32(31))
+        hi = hi ^ (jnp.uint32(0x80000000) | neg)
+        lo = lo ^ neg
+        hi_o, chi_o = hi, chi_u
+    elif kind == "i":
+        hi_o = jax.lax.bitcast_convert_type(hi, jnp.int32)
+        chi_o = jax.lax.bitcast_convert_type(chi_u, jnp.int32)
+    else:
+        hi_o, chi_o = hi, chi_u
+    eq = (hi == chi_u) & (lo == clo)
+    lt = (hi_o < chi_o) | ((hi == chi_u) & (lo < clo))
+    return {
+        "eq": eq, "ne": ~eq, "lt": lt,
+        "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
+    }[op]
+
+
 def _wide_filter_fn(col: EncodedColumn, op: str):
     """Bitmap builder for 64-bit (wide) columns: decode both 32-bit planes
-    on device and compare with 64-bit semantics pieced from 32-bit halves
-    (hi ordered in the logical signedness, lo always unsigned) — the int64
-    values themselves never materialize on device (wide.py)."""
+    on device and compare with 64-bit semantics pieced from the halves —
+    the int64 values themselves never materialize on device (wide.py)."""
     from . import wide
     from .api import get_decoder
 
@@ -142,26 +165,7 @@ def _wide_filter_fn(col: EncodedColumn, op: str):
     def general(slo, shi, val):
         lo = dlo(slo).reshape(ng, SLOTS, LANES)
         hi = dhi(shi).reshape(ng, SLOTS, LANES)
-        clo, chi_u = val[0, 0], val[0, 1]
-        if kind == "f":
-            # float64 total-order key, pieced across the halves: flip all
-            # 64 bits of negatives, only the sign bit of non-negatives
-            # (val halves arrive pre-mapped)
-            neg = jnp.uint32(0) - (hi >> jnp.uint32(31))
-            hi = hi ^ (jnp.uint32(0x80000000) | neg)
-            lo = lo ^ neg
-            hi_o, chi_o = hi, chi_u
-        elif kind == "i":
-            hi_o = jax.lax.bitcast_convert_type(hi, jnp.int32)
-            chi_o = jax.lax.bitcast_convert_type(chi_u, jnp.int32)
-        else:
-            hi_o, chi_o = hi, chi_u
-        eq = (hi == chi_u) & (lo == clo)
-        lt = (hi_o < chi_o) | ((hi == chi_u) & (lo < clo))
-        hits = {
-            "eq": eq, "ne": ~eq, "lt": lt,
-            "le": lt | eq, "gt": ~(lt | eq), "ge": ~lt,
-        }[op].astype(jnp.uint32)
+        hits = _wide_hits(lo, hi, val[0, 0], val[0, 1], kind, op).astype(jnp.uint32)
         i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
         return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
 
@@ -175,12 +179,12 @@ def _host_key_u32(u: np.ndarray) -> np.ndarray:
     return u ^ (np.uint32(0x80000000) | neg)
 
 
-def _cascade_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, int]] | None:
+def _dict_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, int]] | None:
     """Evaluate the predicate over the DICTIONARY (host, O(dict_size)) and
     return the matching codes as contiguous [start, end) ranges — the
-    dict-domain pushdown: a scan over a cascade column never needs the
-    value gather, only inner-code range scans. Returns None when the match
-    set is too fragmented to beat the decode+compare fallback."""
+    dict-domain pushdown for dict and cascade columns: the scan never
+    needs the value gather, only code range scans. Returns None when the
+    match set is too fragmented to beat the decode+compare fallback."""
     dt = np_dtype(col.dtype)
     u = col.streams["values"].view(np.uint32)
     # identical comparison semantics to _cmp (incl. the mod-2^32 staging of
@@ -207,14 +211,14 @@ def _cascade_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, 
     return ranges if len(ranges) <= 4 else None
 
 
-def _cascade_filter_bitmap(col: EncodedColumn, op: str, value):
-    """filter_bitmap for cascade columns via inner-code range scans."""
-    from .ref.cascade import codes_column
+def _dict_filter_bitmap(col: EncodedColumn, op: str, value):
+    """filter_bitmap for dict/cascade columns via code range scans."""
+    from .groupby import _codes_device_column
 
-    ranges = _cascade_code_ranges(col, op, value)
+    ranges = _dict_code_ranges(col, op, value)
     if ranges is None:
         return None  # caller falls back to decode+compare
-    inner = codes_column(col)
+    inner = _codes_device_column(col)
     acc = None
     for s, e in ranges:
         if e - s == 1:
@@ -269,8 +273,8 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
     from .api import device_streams, get_decoder
 
-    if col.scheme == "cascade":
-        bm = _cascade_filter_bitmap(col, op, value)
+    if col.scheme in ("cascade", "dict"):
+        bm = _dict_filter_bitmap(col, op, value)
         if bm is not None:
             return bm
         # fragmented match set: fall through to decode+compare
@@ -334,16 +338,18 @@ def _mask_pad(words, n: int):
     return words
 
 
-def count_bits(words, n: int) -> int:
-    """Population count of an LMP(1) bitmap over a column of n elements
-    (pad bits masked). Accepts the output of filter_bitmap / combinators."""
-    x = _mask_pad(jnp.asarray(words), n)
-    # SWAR popcount on uint32 words
+def popcount_words(x):
+    """SWAR popcount per uint32 word (traced; shared with dist_query)."""
     x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
     x = (x & jnp.uint32(0x33333333)) + ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
     x = (x + (x >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
-    x = (x * jnp.uint32(0x01010101)) >> jnp.uint32(24)
-    return int(jnp.sum(x))
+    return (x * jnp.uint32(0x01010101)) >> jnp.uint32(24)
+
+
+def count_bits(words, n: int) -> int:
+    """Population count of an LMP(1) bitmap over a column of n elements
+    (pad bits masked). Accepts the output of filter_bitmap / combinators."""
+    return int(jnp.sum(popcount_words(_mask_pad(jnp.asarray(words), n))))
 
 
 def count_where(col: EncodedColumn, op: str, value: int) -> int:

@@ -47,7 +47,14 @@ def encode(
         scheme="dict",
         dtype=str(values.dtype),
         n=values.shape[0],
-        params={"bits": int(bits), "dict_size": d},
+        params={
+            "bits": int(bits),
+            "dict_size": d,
+            # auto-built dictionaries (np.unique) are sorted in work space
+            # and every entry appears at least once — query.py and
+            # aggregate.py exploit both facts (dict-domain pushdown)
+            "dense": dictionary is None,
+        },
         streams={
             "codes": lmp_pack(codes.astype(np.uint32), bits),
             # dic_work is already uint32 for floats; integers zero-extend

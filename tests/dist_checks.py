@@ -173,6 +173,11 @@ def main() -> None:
         sel = m64[codes == c]
         assert r3.sum[c] == int(sel.astype(object).sum())
         assert r3.min[c] == sel.min() and r3.max[c] == sel.max()
+    # float64 measures must sum as floats, not bitpatterns (regression)
+    f64 = rng.normal(0, 25, kv.size)
+    rf = group_reduce_sharded(keys, gt.encode(f64, "wide"), ("sum",))
+    for c in range(12):
+        assert abs(rf.sum[c] - np.sum(f64[codes == c], dtype=np.float64)) < 1e-9
     print("[dist] groupby: ok", flush=True)
     # the filter fold itself must be collective-free (the bitmap stays
     # sharded; only a scalar count ever all-reduces)

@@ -141,3 +141,14 @@ def test_avg_and_distinct_count():
     assert avg_(colw) == np.mean(w.astype(np.float64))
     with pytest.raises(ValueError):
         avg_(gt.encode(np.zeros(0, np.int32), "raw"))
+
+
+def test_dict_scheme_aggregate_pushdown():
+    """Plain dict columns share cascade's dictionary pushdowns: min/max
+    from the dense dictionary, sums from code counts x dictionary."""
+    rng = np.random.default_rng(110)
+    vocab = np.array([-900, -3, 0, 44, 1000], np.int32)
+    v = vocab[rng.integers(0, 5, 2 * GROUP + 7)]
+    col = gt.encode(v, "dict")
+    assert min_(col) == int(v.min()) and max_(col) == int(v.max())
+    assert sum_(col) == int(np.sum(v.astype(np.int64)))

@@ -167,3 +167,33 @@ def test_group_sum_chunk_boundaries(monkeypatch):
     r = group_reduce(keys, gt.encode(v, "nbit"), ("sum",))
     codes = np.searchsorted(vocab, kv)
     np.testing.assert_array_equal(r.sum, _np_sums(codes, v, 3))
+
+
+def test_group_wide_float64_sums():
+    """float64 measures (wide scheme) must sum as floats, not bitpatterns
+    (code-review regression)."""
+    rng = np.random.default_rng(308)
+    n = GROUP + 17
+    vocab = np.array([1, 2, 3], np.int32)
+    kv, keys = _mk_keys(rng, n, vocab)
+    v = rng.normal(0, 25, n).astype(np.float64)
+    vals = gt.encode(v, "wide")
+    r = group_reduce(keys, vals, ("sum", "min", "max"))
+    codes = np.searchsorted(vocab, kv)
+    for c in range(3):
+        sel = v[codes == c]
+        assert r.sum[c] == pytest.approx(np.sum(sel, dtype=np.float64), rel=1e-12)
+        assert r.min[c] == sel.min() and r.max[c] == sel.max()
+
+
+def test_cli_groupby_where_needs_value(tmp_path, capsys):
+    from giddy_tpu.cli import main
+    from giddy_tpu.format import write_container
+
+    k = np.zeros(10, np.int32)
+    cols = [gt.encode(k, "cascade", name="k"), gt.encode(k, "raw", name="v")]
+    path = tmp_path / "t.gtp"
+    with open(path, "wb") as f:
+        write_container(cols, f)
+    with pytest.raises(SystemExit):
+        main(["groupby", str(path), "--keys", "0", "--where", "1"])

@@ -153,16 +153,16 @@ def test_cascade_pushdown_matches_numpy(inner, op):
 def test_cascade_pushdown_rewrites_to_code_ranges():
     """A sorted (auto-built) dictionary must produce <=1 code range for
     ordered int predicates — the pushdown path, not decode+compare."""
-    from giddy_tpu.query import _cascade_code_ranges
+    from giddy_tpu.query import _dict_code_ranges
 
     rng = np.random.default_rng(51)
     v = gen_column("cascade", GROUP, rng)
     col = gt.encode(v, "cascade")
-    ranges = _cascade_code_ranges(col, "lt", int(np.median(v)))
+    ranges = _dict_code_ranges(col, "lt", int(np.median(v)))
     assert ranges is not None and len(ranges) <= 1
     # absent value, eq -> zero ranges -> all-false bitmap
     absent = int(v.max()) + 1 if int(v.max()) < 2**31 - 1 else int(v.min()) - 1
-    assert _cascade_code_ranges(col, "eq", absent) == []
+    assert _dict_code_ranges(col, "eq", absent) == []
     assert count_where(col, "eq", absent) == 0
 
 
@@ -174,9 +174,9 @@ def test_cascade_pushdown_float_two_ranges():
     vocab = np.concatenate([-rng.random(6), rng.random(6)]).astype(np.float32)
     v = vocab[rng.integers(0, 12, 2 * GROUP + 33)]
     col = gt.encode(v, "cascade")
-    from giddy_tpu.query import _cascade_code_ranges
+    from giddy_tpu.query import _dict_code_ranges
 
-    ranges = _cascade_code_ranges(col, "lt", 0.5)
+    ranges = _dict_code_ranges(col, "lt", 0.5)
     assert ranges is not None and 1 <= len(ranges) <= 2
     np.testing.assert_array_equal(where_mask(col, "lt", 0.5), v < 0.5)
     np.testing.assert_array_equal(where_mask(col, "ge", 0.0), v >= 0.0)
@@ -189,9 +189,9 @@ def test_cascade_unsorted_dict_falls_back():
     vocab = np.array([50, 1, 99, 3, 70, 5, 80, 7, 60, 9, 90, 11], np.int32)
     v = vocab[rng.integers(0, 12, GROUP + 7)]
     col = gt.encode(v, "cascade", dictionary=vocab, codes_scheme="nbit")
-    from giddy_tpu.query import _cascade_code_ranges
+    from giddy_tpu.query import _dict_code_ranges
 
-    assert _cascade_code_ranges(col, "lt", 55) is None  # fragmented
+    assert _dict_code_ranges(col, "lt", 55) is None  # fragmented
     np.testing.assert_array_equal(where_mask(col, "lt", 55), v < 55)
     assert count_where(col, "lt", 55) == int(np.sum(v < 55))
 
@@ -255,3 +255,25 @@ def test_cli_query_select_and_groupby(tmp_path, capsys):
         assert row["sum"] == int(sel_v.astype(np.int64).sum())
         if sel_v.size:
             assert row["min"] == sel_v.min() and row["max"] == sel_v.max()
+
+
+def test_dict_scheme_pushdown():
+    """Plain dict columns get the same dict-domain rewriting as cascade."""
+    from giddy_tpu.query import _dict_code_ranges
+
+    rng = np.random.default_rng(62)
+    vocab = np.sort(rng.choice(10**5, 40, replace=False)).astype(np.int32)
+    v = vocab[rng.integers(0, 40, 2 * GROUP + 55)]
+    col = gt.encode(v, "dict")
+    assert col.params["dense"]
+    med = int(np.median(v))
+    ranges = _dict_code_ranges(col, "lt", med)
+    assert ranges is not None and len(ranges) <= 1
+    for op, npop in OPS.items():
+        np.testing.assert_array_equal(where_mask(col, op, med), npop(v, med), err_msg=op)
+    # explicit unsorted dictionary: fallback stays correct
+    uv = np.array([50, 1, 99, 3, 70, 5], np.int32)
+    v2 = uv[rng.integers(0, 6, GROUP + 5)]
+    col2 = gt.encode(v2, "dict", dictionary=uv)
+    assert not col2.params["dense"]
+    np.testing.assert_array_equal(where_mask(col2, "lt", 55), v2 < 55)
