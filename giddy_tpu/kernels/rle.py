@@ -84,8 +84,12 @@ def _build(col: EncodedColumn, *, positions: bool):
 
     def decode(streams):
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)
+        # flattened scatter positions are nondecreasing by construction
+        # (run starts ascend within a group; padded runs land on the next
+        # group boundary, dv = 0) — the hint lets XLA skip its sort pass.
+        # Not unique: padding sentinels collide with first-run starts.
         dense = dense.at[streams["pos"].astype(jnp.int32).reshape(-1)].add(
-            streams["dv"].reshape(-1), mode="drop"
+            streams["dv"].reshape(-1), mode="drop", indices_are_sorted=True
         )
         return cumsum(dense.reshape(ng, GROUP)).reshape(ng * GROUP)
 
