@@ -20,6 +20,8 @@ from .lanes import unpack_map_to
 
 
 def prep(col: EncodedColumn) -> dict:
+    if "refs_g" in col.streams:  # already in per-group (dist/slice) form
+        return col.streams
     gpf = col.params["frame_len"] // GROUP
     ng = num_groups(col.n)
     refs_g = np.repeat(col.streams["refs"], gpf)[:ng]

@@ -22,6 +22,8 @@ from .lanes import unpack_map_to, unzigzag
 
 
 def prep(col: EncodedColumn) -> dict:
+    if "a_g" in col.streams:  # already in per-group (dist/slice) form
+        return col.streams
     frame_len = col.params["frame_len"]
     ng = num_groups(col.n)
     g = np.arange(ng, dtype=np.int64)

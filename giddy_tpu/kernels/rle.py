@@ -70,6 +70,8 @@ def scatter_prep(run_values: "np.ndarray", bounds: "np.ndarray", *, positions: b
 
 
 def _prep(col: EncodedColumn, *, positions: bool) -> dict:
+    if "pos" in col.streams:  # already in scatter (dist/slice) form
+        return col.streams
     r_pad = col.params["r_pad"]
     ng = num_groups(col.n)
     key = "run_starts" if positions else "run_ends"

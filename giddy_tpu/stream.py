@@ -85,3 +85,58 @@ def _emit(item, dtype: str, to_host: bool):
 def decode_streamed(col: EncodedColumn, *, chunk_groups: int = 64) -> np.ndarray:
     """Convenience: stream the whole column back to host, concatenated."""
     return np.concatenate(list(stream_decode(col, chunk_groups=chunk_groups, to_host=True)))
+
+
+def stream_count_where(col: EncodedColumn, op: str, value, *, chunk_groups: int = 64) -> int:
+    """Predicate count over a column streamed in group chunks — constant
+    device memory regardless of column size (the larger-than-HBM scan).
+    Chunks run the same fused filter kernels as query.filter_bitmap (one
+    jit specialization for all equal-size chunks); only 1-bit match words
+    per chunk are retained, and all chunk scans are enqueued before any
+    count synchronizes, preserving the upload/decode overlap. Semantics
+    match query.count_where, including float total order."""
+    from .query import _OPS, count_bits, filter_bitmap
+
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    ng = num_groups(col.n)
+
+    if col.scheme == "wide":
+        # planes recombine at the host boundary anyway: compare streamed
+        # chunks host-side on total-order keys (same semantics as the
+        # device path in query._wide_filter_fn)
+        from .zonemap import _key_scalar, _keys
+
+        vk = _key_scalar(value, col.dtype)
+        total = 0
+        for chunk in stream_decode(col, chunk_groups=chunk_groups):
+            keys = _keys(np.asarray(chunk), col.dtype)
+            total += int({
+                "eq": keys == vk, "ne": keys != vk, "lt": keys < vk,
+                "le": keys <= vk, "gt": keys > vk, "ge": keys >= vk,
+            }[op].sum())
+        return total
+
+    slicer = GroupSlicer(col)
+    partials: list[tuple[jax.Array, int]] = []
+    total = 0
+    for c0 in range(0, ng, chunk_groups):
+        c1 = min(c0 + chunk_groups, ng)
+        sub = slicer.slice(c0, c1)
+        if sub.scheme == "_patched_slice":
+            # patched chunks decode via the slicer's scatter epilogue and
+            # compare host-side (exceptions are rare; the base path below
+            # covers the steady state)
+            from .zonemap import _key_scalar, _keys
+
+            vals = _keys(slicer.decode(c0, c1), col.dtype)
+            vk = _key_scalar(value, col.dtype)
+            total += int({
+                "eq": vals == vk, "ne": vals != vk, "lt": vals < vk,
+                "le": vals <= vk, "gt": vals > vk, "ge": vals >= vk,
+            }[op].sum())
+            continue
+        partials.append((filter_bitmap(sub, op, value), sub.n))  # enqueued
+    for bm, n in partials:
+        total += count_bits(bm, n)
+    return total

@@ -40,3 +40,25 @@ def test_chunk_iterator_shapes():
     chunks = list(stream_decode(col, chunk_groups=2, to_host=True))
     assert [c.shape[0] for c in chunks] == [2 * GROUP, 2 * GROUP, GROUP]
     np.testing.assert_array_equal(np.concatenate(chunks), v)
+
+
+def test_stream_count_where_matches_numpy():
+    from giddy_tpu.stream import stream_count_where
+
+    rng = np.random.default_rng(90)
+    n = 7 * GROUP + 123
+    for scheme in ("nbit", "delta", "rle", "dict", "cascade", "patched"):
+        v = gen_column(scheme, n, rng)
+        col = gt.encode(v, scheme)
+        med = int(np.median(v))
+        got = stream_count_where(col, "lt", med, chunk_groups=2)
+        assert got == int((v < med).sum()), scheme
+    # wide 64-bit and float32 (total-order parity with count_where)
+    v64 = gen_column("wide", n, rng)
+    w = gt.encode(v64, "wide")
+    assert stream_count_where(w, "ge", int(np.median(v64)), chunk_groups=2) == int(
+        (v64 >= np.median(v64)).sum()
+    )
+    fv = rng.normal(0, 10, n).astype(np.float32)
+    fc = gt.encode(fv, "raw")
+    assert stream_count_where(fc, "lt", -1.5, chunk_groups=3) == int((fv < -1.5).sum())
