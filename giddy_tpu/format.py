@@ -125,18 +125,38 @@ def read_container(data: bytes | Mapping) -> list[EncodedColumn]:
     if not isinstance(data, (bytes, bytearray, memoryview)):
         data = data.read()
     buf = memoryview(data)
+    if len(buf) < 16:
+        raise ValueError(f"truncated container: {len(buf)} bytes, need at least 16")
     if bytes(buf[:8]) != MAGIC:
         raise ValueError("bad magic; not a giddy-tpu container")
     hlen = int.from_bytes(bytes(buf[8:16]), "little")
-    header = json.loads(bytes(buf[16 : 16 + hlen]).decode("utf-8"))
+    if 16 + hlen > len(buf):
+        raise ValueError(
+            f"truncated container: header claims {hlen} bytes, file holds {len(buf) - 16}"
+        )
+    try:
+        header = json.loads(bytes(buf[16 : 16 + hlen]).decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+        raise ValueError(f"corrupt container header: {exc}") from None
     cols = []
-    for e in header["columns"]:
+    for e in header.get("columns", ()):
         streams = {}
         for sname, m in e["streams"].items():
-            arr = np.frombuffer(
-                buf, dtype=np.dtype(m["dtype"]), count=int(np.prod(m["shape"], dtype=np.int64)) if m["shape"] else 1, offset=m["offset"]
-            ).reshape(m["shape"])
-            streams[sname] = arr
+            try:
+                dt = np.dtype(m["dtype"])
+            except TypeError:
+                raise ValueError(
+                    f"corrupt container: stream {e.get('name')}/{sname} has "
+                    f"invalid dtype {m.get('dtype')!r}"
+                ) from None
+            count = int(np.prod(m["shape"], dtype=np.int64)) if m["shape"] else 1
+            off = int(m["offset"])
+            if off < 0 or off + count * dt.itemsize > len(buf):
+                raise ValueError(
+                    f"corrupt container: stream {e.get('name')}/{sname} "
+                    f"[{off}, {off + count * dt.itemsize}) exceeds file size {len(buf)}"
+                )
+            streams[sname] = np.frombuffer(buf, dtype=dt, count=count, offset=off).reshape(m["shape"])
         cols.append(
             EncodedColumn(
                 name=e["name"],

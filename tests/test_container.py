@@ -76,3 +76,34 @@ def test_golden_format_frozen(scheme, digest_name):
         f"on-disk format drifted for {digest_name}; if intentional, update "
         f"tests/golden/ and bump FORMAT.md version"
     )
+
+
+def test_corrupt_containers_rejected_cleanly():
+    """Malformed inputs must raise ValueError with a reason, never a raw
+    struct/json/numpy traceback."""
+    rng = np.random.default_rng(3)
+    col = gt.encode(gen_column("nbit", GROUP, rng), "nbit")
+    blob = gt.container_bytes([col])
+
+    with pytest.raises(ValueError, match="truncated"):
+        gt.read_container(blob[:10])
+    with pytest.raises(ValueError, match="magic"):
+        gt.read_container(b"NOTGIDDY" + blob[8:])
+    # header length pointing past EOF
+    bad = bytearray(blob)
+    bad[8:16] = (len(blob) * 2).to_bytes(8, "little")
+    with pytest.raises(ValueError, match="truncated"):
+        gt.read_container(bytes(bad))
+    # garbage header bytes
+    bad = bytearray(blob)
+    bad[16:24] = b"\xff" * 8
+    with pytest.raises(ValueError, match="corrupt"):
+        gt.read_container(bytes(bad))
+    # stream extent beyond EOF
+    with pytest.raises(ValueError, match="exceeds"):
+        gt.read_container(blob[:-64])
+    # unknown scheme surfaces a clear registry error at decode time
+    cols = gt.read_container(blob)
+    cols[0].scheme = "no_such_scheme"
+    with pytest.raises(KeyError, match="not registered"):
+        gt.decode_ref(cols[0])
