@@ -35,6 +35,9 @@ def decode_ref(col: EncodedColumn) -> np.ndarray:
 def get_decoder(col: EncodedColumn):
     """Build (or fetch cached) the jitted device decoder for this column's
     static configuration. Returns fn(streams_device) -> uint32[n_pad]."""
+    from .util import check_device_addressable
+
+    check_device_addressable(col.n, f"device decode of {col.name!r}")
     key = col.static_key()
     fn = _DECODER_CACHE.get(key)
     if fn is None:

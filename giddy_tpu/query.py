@@ -397,6 +397,66 @@ def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
     return acc
 
 
+def filter_bitmap_cols(a: EncodedColumn, b: EncodedColumn, op: str) -> jax.Array:
+    """Column-vs-column predicate: bitmap of ``a[i] <op> b[i]`` — both
+    columns decode in ONE jitted program (XLA schedules them back-to-back
+    on-chip) and only the 1-bit match words leave. Columns must share
+    length and logical dtype (the comparison key mapping is per-dtype);
+    wide columns are not supported — compare their planes via the caller."""
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    if a.n != b.n:
+        raise ValueError(f"length mismatch: {a.n} vs {b.n}")
+    if a.dtype != b.dtype:
+        raise ValueError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
+    if "wide" in (a.scheme, b.scheme):
+        raise NotImplementedError("column-vs-column compare of 64-bit columns")
+    from .api import device_streams, get_decoder
+
+    key = (a.static_key(), b.static_key(), "colcol", op)
+    fn = _FILTER_CACHE.get(key)
+    if fn is None:
+        ng = num_groups(a.n)
+        dt = np_dtype(a.dtype)
+        kind, itemsize = dt.kind, dt.itemsize
+        da, db = get_decoder(a), get_decoder(b)
+
+        def both(sa, sb):
+            ua = da(sa).reshape(ng, SLOTS, LANES)
+            ub = db(sb).reshape(ng, SLOTS, LANES)
+            # map BOTH sides through the same monotone key (sign-extend /
+            # total order), then compare in key space
+            ka = _key_space(ua, kind, itemsize)
+            kb = _key_space(ub, kind, itemsize)
+            hits = {
+                "eq": ka == kb, "ne": ka != kb, "lt": ka < kb,
+                "le": ka <= kb, "gt": ka > kb, "ge": ka >= kb,
+            }[op].astype(jnp.uint32)
+            i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
+            return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
+
+        fn = _FILTER_CACHE[key] = jax.jit(both)
+    return fn(device_streams(a), device_streams(b))
+
+
+def _key_space(v, kind: str, itemsize: int):
+    """uint32 payloads -> comparable keys (int32 sign-extended for signed,
+    total-order uint32 for floats, raw uint32 otherwise) — the two-operand
+    twin of _cmp's one-sided mapping."""
+    if kind == "i":
+        v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        k = 32 - 8 * itemsize
+        return (v << k) >> k if k else v
+    if kind == "f":
+        return _total_order_u32(v)
+    return v
+
+
+def count_where_cols(a: EncodedColumn, b: EncodedColumn, op: str) -> int:
+    """Number of rows where ``a[i] <op> b[i]``."""
+    return count_bits(filter_bitmap_cols(a, b, op), a.n)
+
+
 def select(col: EncodedColumn, bitmap) -> np.ndarray:
     """Materialize the values at the bitmap's set positions — the SELECT
     half of a scan (bitmap from filter_bitmap over this or any other

@@ -77,6 +77,22 @@ def num_groups(n: int) -> int:
     return cdiv(max(n, 1), GROUP)
 
 
+# Device positions/iotas are int32 (Mosaic has no int64 vectors): a single
+# device decode call addresses at most 2**31 padded elements. Larger
+# columns go through partial/stream (group slices) — the libgiddy
+# ``IndexSize`` analog is chunking, not wider device indices.
+MAX_DEVICE_ELEMS = 2**31
+
+
+def check_device_addressable(n: int, what: str = "decode") -> None:
+    if num_groups(n) * GROUP > MAX_DEVICE_ELEMS:
+        raise NotImplementedError(
+            f"{what} of {n} elements exceeds the 2**31 single-call device "
+            "addressing limit (int32 positions); use partial.decode_groups "
+            "or stream.stream_decode to process the column in group chunks"
+        )
+
+
 def pad_to_groups(v: np.ndarray, fill: int = 0) -> np.ndarray:
     """Pad a 1-D value array to a whole number of GROUPs (FORMAT.md §0)."""
     n = v.shape[0]

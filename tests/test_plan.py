@@ -27,3 +27,19 @@ def test_budget_respected_for_large_columns():
 def test_tiny_column_single_block():
     p = plan(3 * GROUP, 4 * (1024 + GROUP))
     assert p.grid == 1 and p.groups_per_block == 3
+
+
+def test_device_addressing_limit_guard():
+    """Columns beyond 2**31 padded elements must fail fast with a pointer
+    to the chunked paths, not silently mis-index int32 positions."""
+    import pytest
+
+    from giddy_tpu.api import get_decoder
+    from giddy_tpu.format import EncodedColumn
+
+    big = EncodedColumn(
+        name="huge", scheme="nbit", dtype="int32", n=2**31 + 1,
+        params={"bits": 9}, streams={},
+    )
+    with pytest.raises(NotImplementedError, match="stream_decode"):
+        get_decoder(big)

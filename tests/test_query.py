@@ -277,3 +277,41 @@ def test_dict_scheme_pushdown():
     col2 = gt.encode(v2, "dict", dictionary=uv)
     assert not col2.params["dense"]
     np.testing.assert_array_equal(where_mask(col2, "lt", 55), v2 < 55)
+
+
+def test_column_vs_column_predicates():
+    from giddy_tpu.query import count_where_cols, filter_bitmap_cols
+    from giddy_tpu.query import count_bits
+
+    rng = np.random.default_rng(63)
+    n = 2 * GROUP + 313
+    a = rng.integers(-1000, 1000, n).astype(np.int32)
+    b = rng.integers(-1000, 1000, n).astype(np.int32)
+    ca, cb = gt.encode(a, "for"), gt.encode(b, "raw")
+    for op, npop in OPS.items():
+        assert count_where_cols(ca, cb, op) == int(npop(a, b).sum()), op
+    # narrow signed: sign-extension on both sides
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    assert count_where_cols(gt.encode(a16, "raw"), gt.encode(b16, "dict"), "lt") == int(
+        (a16 < b16).sum()
+    )
+    # floats compare in total order (regular values match float semantics)
+    fa = rng.normal(0, 5, n).astype(np.float32)
+    fb = rng.normal(0, 5, n).astype(np.float32)
+    assert count_where_cols(gt.encode(fa, "raw"), gt.encode(fb, "raw"), "le") == int(
+        (fa <= fb).sum()
+    )
+    # bitmap composes with single-column predicates
+    bm = filter_bitmap_cols(ca, cb, "gt")
+    from giddy_tpu.query import filter_bitmap
+
+    both = bm & filter_bitmap(ca, "ge", 0)
+    assert count_bits(both, n) == int(((a > b) & (a >= 0)).sum())
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="length"):
+        count_where_cols(ca, gt.encode(a[:10], "raw"), "lt")
+    with pytest.raises(ValueError, match="dtype"):
+        count_where_cols(ca, gt.encode(a16, "raw"), "lt")
