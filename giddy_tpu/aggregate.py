@@ -195,7 +195,9 @@ _AGG_CACHE: dict[tuple, object] = {}
 
 def _run(col: EncodedColumn, agg: str):
     from .api import device_streams
+    from .util import check_device_addressable
 
+    check_device_addressable(col.n, f"aggregate of {col.name!r}")
     key = (col.static_key(), agg)
     fn = _AGG_CACHE.get(key)
     if fn is None:

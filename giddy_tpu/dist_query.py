@@ -45,6 +45,9 @@ def _scan_fn(col: EncodedColumn, mesh, axis, mode: str, op: str | None):
     from .aggregate import _key_map_traced
     from .query import _cmp
 
+    from .util import check_device_addressable
+
+    check_device_addressable(col.n, f"sharded scan of {col.name!r}")
     key = (col.static_key(), mode, op, tuple(mesh.axis_names), mesh.devices.shape,
            axis if isinstance(axis, str) else tuple(axis))
     hit = _SCAN_CACHE.get(key)
@@ -254,6 +257,9 @@ def _gb_fold(keys, vals, mesh, axis, *, want_count, sum_bytes, want_neg,
     from .aggregate import _key_map_traced
     from .groupby import CHUNK_GROUPS, _codes_device_column
 
+    from .util import check_device_addressable
+
+    check_device_addressable(keys.n, "sharded group_reduce")
     key = ("gb", keys.static_key(), vals.static_key() if vals is not None else None,
            (want_count, sum_bytes, want_neg, want_minmax, has_bitmap, CHUNK_GROUPS),
            tuple(mesh.axis_names), mesh.devices.shape,

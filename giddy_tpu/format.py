@@ -138,10 +138,17 @@ def read_container(data: bytes | Mapping) -> list[EncodedColumn]:
         header = json.loads(bytes(buf[16 : 16 + hlen]).decode("utf-8"))
     except (UnicodeDecodeError, json.JSONDecodeError) as exc:
         raise ValueError(f"corrupt container header: {exc}") from None
+    if "columns" not in header:
+        raise ValueError("corrupt container: header lacks a 'columns' list")
     cols = []
-    for e in header.get("columns", ()):
+    for e in header["columns"]:
         streams = {}
         for sname, m in e["streams"].items():
+            if not isinstance(m.get("dtype"), str):
+                raise ValueError(
+                    f"corrupt container: stream {e.get('name')}/{sname} has "
+                    f"invalid dtype {m.get('dtype')!r}"
+                )
             try:
                 dt = np.dtype(m["dtype"])
             except TypeError:
@@ -149,6 +156,11 @@ def read_container(data: bytes | Mapping) -> list[EncodedColumn]:
                     f"corrupt container: stream {e.get('name')}/{sname} has "
                     f"invalid dtype {m.get('dtype')!r}"
                 ) from None
+            if any(int(s) < 0 for s in m["shape"]):
+                raise ValueError(
+                    f"corrupt container: stream {e.get('name')}/{sname} has "
+                    f"negative shape {m['shape']}"
+                )
             count = int(np.prod(m["shape"], dtype=np.int64)) if m["shape"] else 1
             off = int(m["offset"])
             if off < 0 or off + count * dt.itemsize > len(buf):

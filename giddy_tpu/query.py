@@ -179,16 +179,15 @@ def _host_key_u32(u: np.ndarray) -> np.ndarray:
     return u ^ (np.uint32(0x80000000) | neg)
 
 
-def _dict_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, int]] | None:
-    """Evaluate the predicate over the DICTIONARY (host, O(dict_size)) and
-    return the matching codes as contiguous [start, end) ranges — the
-    dict-domain pushdown for dict and cascade columns: the scan never
-    needs the value gather, only code range scans. Returns None when the
-    match set is too fragmented to beat the decode+compare fallback."""
-    dt = np_dtype(col.dtype)
-    u = col.streams["values"].view(np.uint32)
-    # identical comparison semantics to _cmp (incl. the mod-2^32 staging of
-    # out-of-range ints and float total order)
+def host_cmp_mask(u: np.ndarray, op: str, value, dtype: str) -> np.ndarray:
+    """Host twin of the device compare: uint32 payloads vs a scalar, with
+    identical semantics to _cmp + _stage_value (mod-2^32 staging of
+    out-of-range ints, sign-extension of narrow payloads, float total
+    order). Shared by the dict-domain pushdown and streaming fallbacks."""
+    from .util import NP_CMP
+
+    dt = np_dtype(dtype)
+    u = u.view(np.uint32)
     if dt.kind == "f":
         keys = _host_key_u32(u)
         cval = _host_key_u32(np.float32(value).view(np.uint32).reshape(1))[0]
@@ -199,10 +198,16 @@ def _dict_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, int
     else:
         keys = u
         cval = np.array(value, np.int64).astype(np.uint32)
-    mask = {
-        "eq": keys == cval, "ne": keys != cval, "lt": keys < cval,
-        "le": keys <= cval, "gt": keys > cval, "ge": keys >= cval,
-    }[op]
+    return NP_CMP[op](keys, cval)
+
+
+def _dict_code_ranges(col: EncodedColumn, op: str, value) -> list[tuple[int, int]] | None:
+    """Evaluate the predicate over the DICTIONARY (host, O(dict_size)) and
+    return the matching codes as contiguous [start, end) ranges — the
+    dict-domain pushdown for dict and cascade columns: the scan never
+    needs the value gather, only code range scans. Returns None when the
+    match set is too fragmented to beat the decode+compare fallback."""
+    mask = host_cmp_mask(col.streams["values"].view(np.uint32), op, value, col.dtype)
     bounds = np.flatnonzero(np.diff(mask.astype(np.int8), prepend=0, append=0))
     ranges = list(zip(bounds[0::2].tolist(), bounds[1::2].tolist()))
     # sorted dictionaries give <=1 range for ordered ops on ints, <=2 for
@@ -272,7 +277,9 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
     from .api import device_streams, get_decoder
+    from .util import check_device_addressable
 
+    check_device_addressable(col.n, f"scan of {col.name!r}")
     if col.scheme in ("cascade", "dict"):
         bm = _dict_filter_bitmap(col, op, value)
         if bm is not None:

@@ -88,14 +88,16 @@ def decode_streamed(col: EncodedColumn, *, chunk_groups: int = 64) -> np.ndarray
 
 
 def stream_count_where(col: EncodedColumn, op: str, value, *, chunk_groups: int = 64) -> int:
-    """Predicate count over a column streamed in group chunks — constant
+    """Predicate count over a column streamed in group chunks — bounded
     device memory regardless of column size (the larger-than-HBM scan).
     Chunks run the same fused filter kernels as query.filter_bitmap (one
     jit specialization for all equal-size chunks); only 1-bit match words
-    per chunk are retained, and all chunk scans are enqueued before any
-    count synchronizes, preserving the upload/decode overlap. Semantics
-    match query.count_where, including float total order."""
-    from .query import _OPS, count_bits, filter_bitmap
+    per chunk exist on device, and a small in-flight window keeps the
+    upload/decode overlap without accumulating all bitmaps. Semantics
+    match query.count_where, including float total order and the
+    mod-2^32 staging of out-of-range integer values."""
+    from .query import _OPS, count_bits, filter_bitmap, host_cmp_mask
+    from .util import NP_CMP, dtype_to_u32
 
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
@@ -103,40 +105,36 @@ def stream_count_where(col: EncodedColumn, op: str, value, *, chunk_groups: int 
 
     if col.scheme == "wide":
         # planes recombine at the host boundary anyway: compare streamed
-        # chunks host-side on total-order keys (same semantics as the
-        # device path in query._wide_filter_fn)
+        # chunks host-side on total-order keys (same 64-bit-exact
+        # semantics as the device path in query._wide_filter_fn)
         from .zonemap import _key_scalar, _keys
 
         vk = _key_scalar(value, col.dtype)
         total = 0
         for chunk in stream_decode(col, chunk_groups=chunk_groups):
             keys = _keys(np.asarray(chunk), col.dtype)
-            total += int({
-                "eq": keys == vk, "ne": keys != vk, "lt": keys < vk,
-                "le": keys <= vk, "gt": keys > vk, "ge": keys >= vk,
-            }[op].sum())
+            total += int(NP_CMP[op](keys, vk).sum())
         return total
 
     slicer = GroupSlicer(col)
-    partials: list[tuple[jax.Array, int]] = []
+    pending: list[tuple[jax.Array, int]] = []
+    depth = 4  # chunk bitmaps in flight; bounds device memory
     total = 0
     for c0 in range(0, ng, chunk_groups):
         c1 = min(c0 + chunk_groups, ng)
         sub = slicer.slice(c0, c1)
         if sub.scheme == "_patched_slice":
             # patched chunks decode via the slicer's scatter epilogue and
-            # compare host-side (exceptions are rare; the base path below
+            # compare host-side with the SAME staged semantics as the
+            # device chunks (exceptions are rare; the base path below
             # covers the steady state)
-            from .zonemap import _key_scalar, _keys
-
-            vals = _keys(slicer.decode(c0, c1), col.dtype)
-            vk = _key_scalar(value, col.dtype)
-            total += int({
-                "eq": vals == vk, "ne": vals != vk, "lt": vals < vk,
-                "le": vals <= vk, "gt": vals > vk, "ge": vals >= vk,
-            }[op].sum())
+            u = dtype_to_u32(slicer.decode(c0, c1))
+            total += int(host_cmp_mask(u, op, value, col.dtype).sum())
             continue
-        partials.append((filter_bitmap(sub, op, value), sub.n))  # enqueued
-    for bm, n in partials:
+        pending.append((filter_bitmap(sub, op, value), sub.n))  # enqueued
+        if len(pending) > depth:
+            bm, n = pending.pop(0)
+            total += count_bits(bm, n)
+    for bm, n in pending:
         total += count_bits(bm, n)
     return total

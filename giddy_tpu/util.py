@@ -84,8 +84,16 @@ def num_groups(n: int) -> int:
 MAX_DEVICE_ELEMS = 2**31
 
 
+NP_CMP = {
+    "eq": np.equal, "ne": np.not_equal, "lt": np.less,
+    "le": np.less_equal, "gt": np.greater, "ge": np.greater_equal,
+}
+
+
 def check_device_addressable(n: int, what: str = "decode") -> None:
-    if num_groups(n) * GROUP > MAX_DEVICE_ELEMS:
+    # strict: n_pad == 2**31 itself is excluded — RLE padding sentinels sit
+    # at n_pad and must stay representable (and sorted) as int32
+    if num_groups(n) * GROUP >= MAX_DEVICE_ELEMS:
         raise NotImplementedError(
             f"{what} of {n} elements exceeds the 2**31 single-call device "
             "addressing limit (int32 positions); use partial.decode_groups "

@@ -144,9 +144,10 @@ def count_where_pruned(col: EncodedColumn, op: str, value) -> int:
     else:
         slicer = GroupSlicer(col)
         dec = lambda g: slicer.decode(int(g), int(g) + 1)  # noqa: E731
+    from .util import NP_CMP
+
     vk = _key_scalar(value, col.dtype)
-    cmp = {"eq": np.equal, "ne": np.not_equal, "lt": np.less,
-           "le": np.less_equal, "gt": np.greater, "ge": np.greater_equal}[op]
+    cmp = NP_CMP[op]
     for g in undecided:
         vals = _keys(dec(g), col.dtype)
         count += int(cmp(vals, vk).sum())

@@ -107,3 +107,31 @@ def test_corrupt_containers_rejected_cleanly():
     cols[0].scheme = "no_such_scheme"
     with pytest.raises(KeyError, match="not registered"):
         gt.decode_ref(cols[0])
+
+
+def test_corrupt_header_fields_rejected():
+    import json as _json
+
+    rng = np.random.default_rng(4)
+    col = gt.encode(gen_column("nbit", GROUP, rng), "nbit")
+    blob = gt.container_bytes([col])
+    hlen = int.from_bytes(blob[8:16], "little")
+    header = _json.loads(blob[16 : 16 + hlen])
+
+    def rebuild(h):
+        hj = _json.dumps(h).encode()
+        pad = hlen - len(hj)
+        assert pad >= 0
+        return blob[:16] + hj + b" " * pad + blob[16 + hlen:]
+
+    h = _json.loads(_json.dumps(header))
+    next(iter(h["columns"][0]["streams"].values()))["shape"] = [-1]
+    with pytest.raises(ValueError, match="negative shape"):
+        gt.read_container(rebuild(h))
+    h = _json.loads(_json.dumps(header))
+    next(iter(h["columns"][0]["streams"].values()))["dtype"] = None
+    with pytest.raises(ValueError, match="invalid dtype"):
+        gt.read_container(rebuild(h))
+    h = {"cols": []}
+    with pytest.raises(ValueError, match="columns"):
+        gt.read_container(rebuild(h))

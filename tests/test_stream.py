@@ -62,3 +62,17 @@ def test_stream_count_where_matches_numpy():
     fv = rng.normal(0, 10, n).astype(np.float32)
     fc = gt.encode(fv, "raw")
     assert stream_count_where(fc, "lt", -1.5, chunk_groups=3) == int((fv < -1.5).sum())
+
+
+def test_stream_count_patched_semantics_match_count_where():
+    """Patched chunks fall back to a host compare: it must use the same
+    mod-2^32 value staging as the device chunks (review regression)."""
+    from giddy_tpu.query import count_where
+    from giddy_tpu.stream import stream_count_where
+
+    rng = np.random.default_rng(91)
+    v = gen_column("patched", 5 * GROUP + 7, rng)
+    col = gt.encode(v, "patched")
+    for value in (int(np.median(v)), 2**31 + 5, -(2**31) - 3):
+        want = count_where(col, "lt", value)
+        assert stream_count_where(col, "lt", value, chunk_groups=2) == want, value
