@@ -11,6 +11,7 @@ kernels.* (L3) → registry + api (L4) → dist (L6, multi-host; new scope).
 
 from .api import decode, decode_columns, decode_ref, encode, get_decoder
 from .format import EncodedColumn, container_bytes, read_container, write_container
+from .nulls import count_valid, decode_masked, null_count, valid_mask
 from .registry import get, plan, schemes
 from .util import GROUP, LANES, SLOTS
 
@@ -22,14 +23,18 @@ __all__ = [
     "LANES",
     "SLOTS",
     "container_bytes",
+    "count_valid",
     "decode",
     "decode_columns",
+    "decode_masked",
     "decode_ref",
     "encode",
     "get",
     "get_decoder",
+    "null_count",
     "plan",
     "read_container",
     "schemes",
+    "valid_mask",
     "write_container",
 ]

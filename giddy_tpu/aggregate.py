@@ -67,11 +67,13 @@ def _key_unmap_host(key: int, dtype: str):
     return int(u)
 
 
-def _slot_fold(slot_fn, pos_row, n: int, kind: str, itemsize: int, agg: str, shape):
+def _slot_fold(slot_fn, pos_row, n: int, kind: str, itemsize: int, agg: str, shape, vw=None):
     """Shared slot loop: slot_fn(i) -> (R, LANES) uint32 payloads;
     pos_row = (R, LANES) int32 of each row's flat base position + lane.
-    Returns the accumulator stack for `agg` ('sum' -> (lo, hi, neg),
-    'min'/'max' -> keys)."""
+    ``vw``: optional (R, LANES) uint32 validity words (LMP(1), nulls.py) —
+    null rows drop out of the sum (min/max never need it: the canonical
+    ffill only repeats valid values). Returns the accumulator stack for
+    `agg` ('sum' -> (lo, hi, neg), 'min'/'max' -> keys)."""
     if agg == "sum":
         lo = jnp.zeros(shape, jnp.uint32)
         hi = jnp.zeros(shape, jnp.uint32)
@@ -80,6 +82,8 @@ def _slot_fold(slot_fn, pos_row, n: int, kind: str, itemsize: int, agg: str, sha
         for i in range(SLOTS):
             v = slot_fn(i)
             valid = (pos_row + i * LANES) < n
+            if vw is not None:
+                valid = valid & (((vw >> jnp.uint32(i)) & jnp.uint32(1)) == jnp.uint32(1))
             v = jnp.where(valid, v, jnp.uint32(0))
             if kind == "i":
                 neg = neg + ((v >> sh) & jnp.uint32(1))
@@ -113,8 +117,11 @@ def _epilogue_agg_call(col: EncodedColumn, agg: str):
     pl_plan = plan(ng * GROUP, 2 * 4 * ((bits + 4) * LANES))
     r = pl_plan.groups_per_block
     n_out = 3 if agg == "sum" else 1
+    from . import nulls
 
-    def body(x, ref, out_refs):
+    with_valid = agg == "sum" and nulls.is_nullable(col)
+
+    def body(x, ref, out_refs, vw=None):
         if x.dtype != jnp.uint32:
             x = jax.lax.bitcast_convert_type(x, jnp.uint32)
         mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
@@ -136,24 +143,34 @@ def _epilogue_agg_call(col: EncodedColumn, agg: str):
         row = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], LANES), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], LANES), 1)
         pos_row = (pid * r + row) * GROUP + lane
-        accs = _slot_fold(slot, pos_row, n, kind, itemsize, agg, (x.shape[0], LANES))
+        accs = _slot_fold(slot, pos_row, n, kind, itemsize, agg, (x.shape[0], LANES), vw=vw)
         for o, a in zip(out_refs, accs):
             o[:] = a
 
+    # validity words ride in as one more (r, LANES) block when the column
+    # is nullable (sum only — min/max are ffill-exact, nulls.py)
     if scheme == "for":
 
-        def kernel(in_ref, ref_ref, *out_refs):
+        def kernel(in_ref, ref_ref, *rest):
             ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
-            body(in_ref[:], ref, out_refs)
+            if with_valid:
+                body(in_ref[:], ref, rest[1:], vw=rest[0][:])
+            else:
+                body(in_ref[:], ref, rest)
 
         in_specs = [block_spec((r, bits * LANES), lambda i: (i, 0)),
                     block_spec((r, 1), lambda i: (i, 0))]
     else:
 
-        def kernel(in_ref, *out_refs):
-            body(in_ref[:], None, out_refs)
+        def kernel(in_ref, *rest):
+            if with_valid:
+                body(in_ref[:], None, rest[1:], vw=rest[0][:])
+            else:
+                body(in_ref[:], None, rest)
 
         in_specs = [block_spec((r, bits * LANES), lambda i: (i, 0))]
+    if with_valid:
+        in_specs.append(block_spec((r, LANES), lambda i: (i, 0)))
 
     call = pl.pallas_call(
         kernel,
@@ -165,12 +182,16 @@ def _epilogue_agg_call(col: EncodedColumn, agg: str):
         interpret=use_interpret(),
     )
 
+    if with_valid:
+        if scheme == "for":
+            return lambda streams, vw: call(streams["packed"], streams["refs_g"], vw)
+        return lambda streams, vw: call(streams["packed"], vw)
     if scheme == "for":
         return lambda streams: call(streams["packed"], streams["refs_g"])
     return lambda streams: call(streams["packed"])
 
 
-def _general_agg_fn(col: EncodedColumn, agg: str):
+def _general_agg_fn(col: EncodedColumn, agg: str, with_valid: bool):
     """Decode-in-jit + slot-math reduce for every other scheme."""
     from .api import get_decoder
 
@@ -180,53 +201,71 @@ def _general_agg_fn(col: EncodedColumn, agg: str):
     n = col.n
     decoder = get_decoder(col)
 
-    def fn(streams):
+    def fold(streams, vw):
         u = decoder(streams).reshape(ng, SLOTS, LANES)
         g = jax.lax.broadcasted_iota(jnp.int32, (ng, LANES), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (ng, LANES), 1)
         pos_row = g * GROUP + lane
-        return _slot_fold(lambda i: u[:, i, :], pos_row, n, kind, itemsize, agg, (ng, LANES))
+        return _slot_fold(
+            lambda i: u[:, i, :], pos_row, n, kind, itemsize, agg, (ng, LANES), vw=vw
+        )
 
-    return jax.jit(fn)
+    if with_valid:
+        return jax.jit(fold)
+    return jax.jit(lambda streams: fold(streams, None))
 
 
 _AGG_CACHE: dict[tuple, object] = {}
 
 
 def _run(col: EncodedColumn, agg: str):
+    from . import nulls
     from .api import device_streams
     from .util import check_device_addressable
 
     check_device_addressable(col.n, f"aggregate of {col.name!r}")
+    # null rows must drop out of sums; min/max stay unmasked — the
+    # canonical ffill only repeats valid values (nulls.py)
+    with_valid = agg == "sum" and nulls.is_nullable(col)
     key = (col.static_key(), agg)
     fn = _AGG_CACHE.get(key)
     if fn is None:
         if col.scheme in ("nbit", "dzbf", "for"):
             fn = jax.jit(_epilogue_agg_call(col, agg))
         else:
-            fn = _general_agg_fn(col, agg)
+            fn = _general_agg_fn(col, agg, with_valid)
         _AGG_CACHE[key] = fn
+    if with_valid:
+        return fn(device_streams(col), nulls.valid_words_device(col))
     return fn(device_streams(col))
 
 
 def sum_(col: EncodedColumn) -> int | float:
     """Exact column sum. Integers return exact Python ints (64-bit-safe via
     (lo, hi, sign-count) accumulators); floats decode and reduce host-side
-    in float64."""
+    in float64. Nullable columns sum the non-null rows (SQL SUM)."""
+    from . import nulls
+
     dt = np_dtype(col.dtype)
+    nullable = nulls.is_nullable(col)
     if col.scheme in ("cascade", "dict") and dt.kind != "f":
         # dict-domain pushdown: sum = sum_c count_c * dict_c — one device
         # pass over the CODES only (the value gather never runs), then an
-        # exact O(dict_size) host dot in Python ints
+        # exact O(dict_size) host dot in Python ints. Nullable: the valid
+        # words ARE a filter bitmap, so null rows fall out of the counts.
         from .groupby import group_reduce, key_values
 
-        counts = group_reduce(col, None, ("count",)).count
+        bm = col.streams["valid"] if nullable else None
+        counts = group_reduce(col, None, ("count",), bm).count
         vals = key_values(col).astype(np.int64)
         return int(sum(int(c) * int(v) for c, v in zip(counts, vals)))
     if dt.kind == "f":
         from .api import decode
 
-        return float(np.sum(np.asarray(decode(col)), dtype=np.float64))
+        v = np.asarray(decode(col))
+        if nullable:
+            v = v[nulls.valid_mask(col)]
+        return float(np.sum(v, dtype=np.float64))
     if col.scheme == "wide":
         from . import wide
         from .query import count_where
@@ -237,6 +276,13 @@ def sum_(col: EncodedColumn) -> int | float:
         if dt.kind == "i":  # two's complement: subtract 2^64 per negative
             n_neg = count_where(wide._sub(col, "hi"), "ge", 1 << 31)
             s -= n_neg << 64
+        if nullable:
+            # the plane sums covered the canonical fill values at null rows
+            # too: subtract them exactly (partial.take decodes only the
+            # groups that hold nulls)
+            from .partial import take
+
+            s -= sum(int(x) for x in take(col, nulls.null_positions(col)))
         return s
     lo, hi, neg = (np.asarray(a, dtype=np.uint64) for a in _run(col, "sum"))
     s = int(lo.sum()) + (int(hi.sum()) << 32)
@@ -246,6 +292,13 @@ def sum_(col: EncodedColumn) -> int | float:
 
 
 def _minmax(col: EncodedColumn, agg: str):
+    # nullable columns need no masking here: the canonical ffill only
+    # repeats valid values, so the filled extreme IS the valid extreme —
+    # except when every row is null (no valid value exists at all)
+    from . import nulls
+
+    if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
+        raise ValueError(f"{agg} of an all-null column")
     dt = np_dtype(col.dtype)
     if col.scheme in ("cascade", "dict") and col.params.get("dense"):
         # auto-built dictionary: every entry appears at least once, so the
@@ -282,10 +335,14 @@ def _minmax(col: EncodedColumn, agg: str):
 
 
 def avg_(col: EncodedColumn) -> float:
-    """Column mean: exact sum / n (float64)."""
-    if col.n == 0:
-        raise ValueError("avg of an empty column")
-    return float(sum_(col)) / col.n
+    """Column mean: exact sum / row count (float64). Nullable columns
+    average the non-null rows (SQL AVG)."""
+    from . import nulls
+
+    nv = nulls.count_valid(col) if nulls.is_nullable(col) else col.n
+    if nv == 0:
+        raise ValueError("avg of an empty (or all-null) column")
+    return float(sum_(col)) / nv
 
 
 def distinct_count(col: EncodedColumn) -> int:
@@ -293,7 +350,12 @@ def distinct_count(col: EncodedColumn) -> int:
     payloads count separately, matching the dictionary-build semantics).
     Dense (auto-built) cascade dictionaries answer O(1) from the header;
     other dictionary-backed columns count codes in use with a device code
-    scan; everything else decodes and uniques host-side."""
+    scan; everything else decodes and uniques host-side. Nullable columns
+    count distinct non-null values (the ffill adds no new ones)."""
+    from . import nulls
+
+    if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
+        return 0
     if col.scheme in ("cascade", "dict") and col.params.get("dense"):
         return col.params["dict_size"]
     if col.scheme in ("dict", "cascade"):

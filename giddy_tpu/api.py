@@ -13,6 +13,7 @@ import numpy as np
 
 from . import kernels as _kernels  # noqa: F401  (installs device decoders)
 from . import ref as _ref  # noqa: F401  (installs CPU codecs)
+from . import strings as _strings  # noqa: F401  (installs the string-dictionary scheme)
 from . import wide as _wide  # noqa: F401  (installs the 64-bit plane wrapper)
 from . import registry
 from .format import EncodedColumn
@@ -21,9 +22,20 @@ from .util import np_dtype
 _DECODER_CACHE: dict[tuple, object] = {}
 
 
-def encode(values: np.ndarray, scheme: str, **opts) -> EncodedColumn:
+def encode(values: np.ndarray, scheme: str, *, valid=None, **opts) -> EncodedColumn:
     """Host-side encode (NumPy oracle codec; encode is out of the hot path
-    by design — SURVEY.md §1 'decode-only')."""
+    by design — SURVEY.md §1 'decode-only').
+
+    ``valid``: optional bool[n] mask (True = non-null) making the column
+    nullable — null slots are canonically filled (previous valid value)
+    before encoding and a ``valid`` LMP(1) stream is attached; see
+    nulls.py for the scan/aggregate semantics this buys."""
+    if valid is not None:
+        from . import nulls
+
+        mask = np.asarray(valid, bool)
+        filled = nulls.fill_nulls(np.asarray(values), mask)
+        return nulls.attach_valid(registry.get(scheme).encode(filled, **opts), mask)
     return registry.get(scheme).encode(values, **opts)
 
 
@@ -66,6 +78,10 @@ def decode(col: EncodedColumn, *, pad: bool = False):
         from . import wide
 
         return wide.decode_device(col, pad=pad)
+    if col.scheme == "strdict":
+        from . import strings
+
+        return strings.decode(col)  # codes on device, string gather host-side
     u = get_decoder(col)(device_streams(col))
     out = _to_logical(u, col.dtype)
     return out if pad else out[: col.n]

@@ -43,14 +43,27 @@ def cmd_encode(args) -> None:
     from .format import write_container
 
     v = np.load(args.input)
+    mask = None
+    if args.valid:
+        mask = np.load(args.valid).astype(bool)
+        if mask.shape != v.shape:
+            raise SystemExit(f"--valid mask shape {mask.shape} != data shape {v.shape}")
     if args.scheme == "auto":
         from .advisor import encode_best, suggest
 
+        if mask is not None:
+            from .nulls import fill_nulls
+
+            v = fill_nulls(v, mask)  # advise on what actually gets encoded
         ranked = suggest(v, measure=args.measure)
         print("advisor:", ", ".join(f"{s}={r:.1f}x" for s, r in ranked[:4]))
         col = encode_best(v, name=args.name, ranked=ranked)
+        if mask is not None:
+            from .nulls import attach_valid
+
+            col = attach_valid(col, mask)
     else:
-        col = encode(v, args.scheme, name=args.name)
+        col = encode(v, args.scheme, name=args.name, valid=mask)
     with open(args.out, "wb") as f:
         write_container([col], f)
     print(
@@ -152,24 +165,31 @@ def cmd_groupby(args) -> None:
 
 
 def cmd_agg(args) -> None:
-    from .aggregate import max_, min_, sum_
+    from .aggregate import avg_, distinct_count, max_, min_, sum_
+    from .nulls import count_valid
 
     col = _load_cols(args.input)[args.column]
-    fn = {"sum": sum_, "min": min_, "max": max_}[args.agg]
+    fn = {"sum": sum_, "min": min_, "max": max_, "avg": avg_,
+          "count": count_valid, "distinct": distinct_count}[args.agg]
     print(json.dumps({"column": col.name, "scheme": col.scheme, "agg": args.agg,
                       "value": fn(col), "n": col.n}))
 
 
 def cmd_info(args) -> None:
+    from .nulls import is_nullable, null_count
+
     for col in _load_cols(args.input):
-        print(json.dumps({
+        info = {
             "name": col.name, "scheme": col.scheme, "dtype": col.dtype,
             "n": col.n, "params": col.params,
             "compressed_bytes": col.nbytes_compressed,
             "decoded_bytes": col.nbytes_decoded,
             "ratio": round(col.ratio, 3),
             "streams": {k: list(v.shape) for k, v in col.streams.items()},
-        }))
+        }
+        if is_nullable(col):
+            info["nulls"] = null_count(col)
+        print(json.dumps(info))
 
 
 def cmd_bench(args) -> None:
@@ -216,6 +236,8 @@ def main(argv=None) -> None:
     e.add_argument("input")
     e.add_argument("scheme")
     e.add_argument("--name", default="col")
+    e.add_argument("--valid", default=None, metavar="MASK.npy",
+                   help="bool mask (True = non-null): encode a nullable column")
     e.add_argument("--out", default="column.gtp")
     e.add_argument("--measure", action="store_true",
                    help="with scheme=auto: settle near-ties by measured device decode throughput")
@@ -259,7 +281,7 @@ def main(argv=None) -> None:
 
     a = sub.add_parser("agg", help="fused aggregate (sum/min/max) without decoding")
     a.add_argument("input")
-    a.add_argument("agg", choices=("sum", "min", "max"))
+    a.add_argument("agg", choices=("sum", "min", "max", "avg", "count", "distinct"))
     a.add_argument("--column", type=int, default=0)
     a.set_defaults(fn=cmd_agg)
 

@@ -59,12 +59,18 @@ def _scan_fn(col: EncodedColumn, mesh, axis, mode: str, op: str | None):
     dt = np_dtype(col.dtype)
     kind, itemsize = dt.kind, dt.itemsize
 
-    def fold(val, *dargs):
+    def fold(val, vw, *dargs):
+        # vw: group-sharded (ng_pad, LANES) validity words for nullable
+        # columns (None otherwise) — the AND is shard-local, so the scan
+        # stays collective-free
         x = decode_fn(*dargs).reshape(ng_pad, SLOTS, LANES)
         g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
         s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
         valid = (g * GROUP + s * LANES + lane) < n
+        if vw is not None:
+            bit = (vw[:, None, :] >> s.astype(jnp.uint32)) & jnp.uint32(1)
+            valid = valid & (bit == jnp.uint32(1))
         if mode == "filter":
             hits = (_cmp(x, val[0, 0], op, kind, itemsize) & valid).astype(jnp.uint32)
             return jnp.sum(hits << s.astype(jnp.uint32), axis=1, dtype=jnp.uint32)
@@ -108,6 +114,29 @@ def _args(col, mesh, axis):
     return args
 
 
+def _valid_arg(col, mesh, axis):
+    """Group-sharded placement of a nullable column's validity words
+    (padded to ng_pad like every sharded stream); None if not nullable."""
+    from . import nulls
+    from .dist import _pad_groups
+
+    if not nulls.is_nullable(col):
+        return None
+    key = (id(col), "vw", tuple(mesh.axis_names), mesh.devices.shape,
+           axis if isinstance(axis, str) else tuple(axis))
+    hit = _ARGS_CACHE.get(key)
+    if hit is not None and hit[0] is col:
+        return hit[1]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ng = num_groups(col.n)
+    ng_pad = cdiv(ng, _nd(mesh, axis)) * _nd(mesh, axis)
+    vw = _pad_groups(col.streams["valid"], ng, ng_pad)
+    dev = jax.device_put(vw, NamedSharding(mesh, P(axis, None)))
+    _ARGS_CACHE[key] = (col, dev)
+    return dev
+
+
 def filter_bitmap_sharded(col: EncodedColumn, op: str, value, mesh=None, axis="d"):
     """Sharded twin of query.filter_bitmap: (ng, LANES) LMP(1) match words,
     group-sharded over the mesh, pad bits already zeroed (composable with
@@ -120,7 +149,8 @@ def filter_bitmap_sharded(col: EncodedColumn, op: str, value, mesh=None, axis="d
     if col.scheme == "wide":
         return _wide_filter_sharded(col, op, value, mesh, axis)
     fn = _scan_fn(col, mesh, axis, "filter", op)
-    words = fn(jnp.asarray(_stage_value(col.dtype, value)), *_args(col, mesh, axis))
+    words = fn(jnp.asarray(_stage_value(col.dtype, value)),
+               _valid_arg(col, mesh, axis), *_args(col, mesh, axis))
     return words[: num_groups(col.n)]
 
 
@@ -161,7 +191,7 @@ def _wide_filter_sharded(col, op, value, mesh, axis):
         dhi, _ = build_sharded_decoder(hi_col, mesh, axis)
         n_lo = len(_args(lo_col, mesh, axis))
 
-        def fold(val, *dargs):
+        def fold(val, vw, *dargs):
             from .query import _wide_hits
 
             lo = dlo(*dargs[:n_lo]).reshape(ng_pad, SLOTS, LANES)
@@ -170,22 +200,32 @@ def _wide_filter_sharded(col, op, value, mesh, axis):
             g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
             s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
-            hits = (hits & ((g * GROUP + s * LANES + lane) < n)).astype(jnp.uint32)
+            valid = (g * GROUP + s * LANES + lane) < n
+            if vw is not None:  # nullable: shard-local validity AND
+                bit = (vw[:, None, :] >> s.astype(jnp.uint32)) & jnp.uint32(1)
+                valid = valid & (bit == jnp.uint32(1))
+            hits = (hits & valid).astype(jnp.uint32)
             return jnp.sum(hits << s.astype(jnp.uint32), axis=1, dtype=jnp.uint32)
 
         fn = _SCAN_CACHE[key] = jax.jit(fold)
     val = jnp.asarray(_stage_value_wide(col.dtype, value))
-    words = fn(val, *_args(lo_col, mesh, axis), *_args(hi_col, mesh, axis))
+    words = fn(val, _valid_arg(col, mesh, axis),
+               *_args(lo_col, mesh, axis), *_args(hi_col, mesh, axis))
     return words[:ng]
 
 
 def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
-    """Distributed exact column sum (semantics of aggregate.sum_)."""
+    """Distributed exact column sum (semantics of aggregate.sum_, incl.
+    null-skipping for nullable columns)."""
+    from . import nulls
+
     mesh = mesh or default_mesh(axis)
     dt = np_dtype(col.dtype)
+    nullable = nulls.is_nullable(col)
     if col.scheme in ("cascade", "dict") and dt.kind != "f":
         # dict-domain pushdown, sharded: count codes on the mesh, exact
-        # O(dict_size) host dot (twin of aggregate.sum_'s dictionary path)
+        # O(dict_size) host dot (twin of aggregate.sum_'s dictionary path;
+        # group_reduce_sharded drops null rows from the counts itself)
         from .groupby import key_values
 
         counts = group_reduce_sharded(col, None, ("count",), mesh=mesh, axis=axis).count
@@ -194,7 +234,10 @@ def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
     if dt.kind == "f":
         from .dist import decode_sharded
 
-        return float(np.sum(np.asarray(decode_sharded(col, mesh, axis)), dtype=np.float64))
+        v = np.asarray(decode_sharded(col, mesh, axis))
+        if nullable:
+            v = v[nulls.valid_mask(col)]
+        return float(np.sum(v, dtype=np.float64))
     if col.scheme == "wide":
         from . import wide
 
@@ -204,9 +247,15 @@ def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
         s = s_lo + (s_hi << 32)
         if dt.kind == "i":
             s -= count_where_sharded(hi, "ge", 1 << 31, mesh, axis) << 64
+        if nullable:
+            # plane sums covered the fill values at null rows: subtract
+            # them exactly (aggregate.sum_'s wide correction)
+            from .partial import take
+
+            s -= sum(int(x) for x in take(col, nulls.null_positions(col)))
         return s
     fn = _scan_fn(col, mesh, axis, "sum", None)
-    parts = fn(None, *_args(col, mesh, axis))
+    parts = fn(None, _valid_arg(col, mesh, axis), *_args(col, mesh, axis))
     w = dt.itemsize
     s = sum(int(np.asarray(parts[b], np.int64).sum()) << (8 * b) for b in range(w))
     if dt.kind == "i":
@@ -216,22 +265,27 @@ def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
 
 def _plane_sum_sharded(plane_col, mesh, axis) -> int:
     fn = _scan_fn(plane_col, mesh, axis, "sum", None)
-    parts = fn(None, *_args(plane_col, mesh, axis))
+    parts = fn(None, None, *_args(plane_col, mesh, axis))
     return sum(int(np.asarray(parts[b], np.int64).sum()) << (8 * b) for b in range(4))
 
 
 def _minmax_sharded(col, agg, mesh, axis):
+    from . import nulls
     from .aggregate import _key_unmap_host, _minmax
 
+    if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
+        raise ValueError(f"{agg} of an all-null column")
     if col.scheme == "wide" or (
         col.scheme in ("cascade", "dict") and col.params.get("dense")
     ):
         # wide answers from host zone maps; dense dictionaries from the
-        # dictionary itself — neither touches the mesh (aggregate._minmax)
+        # dictionary itself — neither touches the mesh (aggregate._minmax).
+        # No null masking needed: the canonical ffill only repeats valid
+        # values (nulls.py).
         return _minmax(col, agg)
     mesh = mesh or default_mesh(axis)
     fn = _scan_fn(col, mesh, axis, agg, None)
-    keys = np.asarray(fn(None, *_args(col, mesh, axis)))
+    keys = np.asarray(fn(None, None, *_args(col, mesh, axis)))
     best = int(keys.max()) if agg == "max" else int(keys.min())
     return _key_unmap_host(best, col.dtype)
 
@@ -332,12 +386,14 @@ def _gb_run(keys, vals, bitmap, mesh, axis, **flags):
 
 def group_reduce_sharded(keys, vals=None, aggs=("count",), bitmap=None,
                          mesh=None, axis="d"):
-    """Distributed groupby.group_reduce: same semantics and GroupResult,
-    with codes and measures decoding sharded over the mesh. Float sums and
-    wide min/max decode sharded, then finish host-side (like the
-    single-chip layer); everything else stays on device."""
+    """Distributed groupby.group_reduce: same semantics and GroupResult
+    (incl. excluding rows with a null key or measure), with codes and
+    measures decoding sharded over the mesh. Float sums and wide min/max
+    decode sharded, then finish host-side (like the single-chip layer);
+    everything else stays on device."""
     from . import groupby as gb
 
+    bitmap = gb._and_validity(bitmap, keys, vals)
     mesh = mesh or default_mesh(axis)
     aggs = tuple(aggs)
     for a in aggs:
@@ -348,7 +404,7 @@ def group_reduce_sharded(keys, vals=None, aggs=("count",), bitmap=None,
         raise ValueError("sum/min/max require a values column")
     if vals is not None and vals.n != keys.n:
         raise ValueError(f"length mismatch: keys n={keys.n}, vals n={vals.n}")
-    if keys.scheme not in ("dict", "cascade"):
+    if keys.scheme not in ("dict", "cascade", "strdict"):
         gb._codes_device_column(keys)  # raises the explanatory ValueError
 
     d = keys.params["dict_size"]

@@ -53,6 +53,10 @@ CHUNK_GROUPS = 256
 def _codes_device_column(keys: EncodedColumn) -> EncodedColumn:
     """An int32 column decoding to the key codes (the value gather never
     runs — grouping only needs code identity)."""
+    if keys.scheme == "strdict":
+        from .strings import codes_column
+
+        return codes_column(keys)
     if keys.scheme == "cascade":
         from .ref.cascade import codes_column
 
@@ -67,13 +71,17 @@ def _codes_device_column(keys: EncodedColumn) -> EncodedColumn:
             streams={"packed": keys.streams["codes"]},
         )
     raise ValueError(
-        f"group keys must be a 'dict' or 'cascade' column, got {keys.scheme!r}"
+        f"group keys must be a 'dict', 'cascade' or 'strdict' column, got {keys.scheme!r}"
         " (encode the key column with gt.encode(v, 'cascade'))"
     )
 
 
 def key_values(keys: EncodedColumn) -> np.ndarray:
     """The dictionary (code -> key value), logical dtype, length d."""
+    if keys.scheme == "strdict":
+        from .strings import dictionary
+
+        return dictionary(keys)
     return u32_to_dtype(keys.streams["values"].view(np.uint32), keys.dtype)
 
 
@@ -263,6 +271,20 @@ def _host_group_minmax(codes, v, d, mask):
     )
 
 
+def _and_validity(bitmap, *cols):
+    """AND the validity words of any nullable columns into the filter
+    bitmap (host numpy — validity is 1/1024 of the decoded bytes)."""
+    from . import nulls
+
+    vws = [c.streams["valid"] for c in cols if c is not None and nulls.is_nullable(c)]
+    if not vws:
+        return bitmap
+    vb = vws[0]
+    for w in vws[1:]:
+        vb = vb & w
+    return vb if bitmap is None else np.asarray(bitmap) & vb
+
+
 # --- public API ----------------------------------------------------------------
 
 
@@ -288,7 +310,12 @@ def group_reduce(
     """GROUP BY ``keys`` computing ``aggs`` over ``vals`` (optionally only
     where ``bitmap`` — a filter_bitmap over any same-length column — is
     set). ``keys`` must be dictionary-backed ('dict' or 'cascade');
-    ``vals`` may use any scheme. Returns one row per dictionary entry."""
+    ``vals`` may use any scheme. Returns one row per dictionary entry.
+
+    Nullable columns (nulls.py): rows whose key OR measure is null are
+    excluded from every aggregate — the COUNT(col) contract, implemented
+    by AND-ing the validity words into the filter bitmap."""
+    bitmap = _and_validity(bitmap, keys, vals)
     aggs = tuple(aggs)
     for a in aggs:
         if a not in _AGGS:
@@ -298,7 +325,7 @@ def group_reduce(
         raise ValueError("sum/min/max require a values column")
     if vals is not None and vals.n != keys.n:
         raise ValueError(f"length mismatch: keys n={keys.n}, vals n={vals.n}")
-    if keys.scheme not in ("dict", "cascade"):
+    if keys.scheme not in ("dict", "cascade", "strdict"):
         _codes_device_column(keys)  # raises the explanatory ValueError
 
     d = keys.params["dict_size"]

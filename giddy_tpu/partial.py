@@ -118,7 +118,18 @@ class GroupSlicer:
         return pos, ps["patch_val"]
 
     def slice(self, g0: int, g1: int) -> EncodedColumn:
-        """A self-contained column decoding exactly groups [g0, g1)."""
+        """A self-contained column decoding exactly groups [g0, g1).
+        Nullable columns' slices carry their window of the validity words,
+        so chunked scans stay null-correct (nulls.py)."""
+        sub = self._slice_inner(g0, g1)
+        if self.col.params.get("nullable") and "valid" in self.col.streams:
+            # LMP(1) words are per-group, so the window is a plain row
+            # slice; pad bits (incl. the global ragged tail) are already 0
+            sub.streams["valid"] = self.col.streams["valid"][g0:g1]
+            sub.params = {**sub.params, "nullable": True}
+        return sub
+
+    def _slice_inner(self, g0: int, g1: int) -> EncodedColumn:
         if not (0 <= g0 < g1 <= self.ng):
             raise ValueError(f"group range [{g0},{g1}) out of [0,{self.ng})")
         if self.col.scheme == "dzbv":

@@ -276,14 +276,16 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
     are garbage — count_where masks them; slice after unpacking otherwise."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    from . import nulls
     from .api import device_streams, get_decoder
     from .util import check_device_addressable
 
     check_device_addressable(col.n, f"scan of {col.name!r}")
+    nullable = nulls.is_nullable(col)  # SQL: NULL never matches — AND validity
     if col.scheme in ("cascade", "dict"):
         bm = _dict_filter_bitmap(col, op, value)
         if bm is not None:
-            return bm
+            return bm & nulls.valid_words_device(col) if nullable else bm
         # fragmented match set: fall through to decode+compare
 
     if col.scheme == "wide":
@@ -294,33 +296,38 @@ def filter_bitmap(col: EncodedColumn, op: str, value: int) -> jax.Array:
         if fn is None:
             fn = _FILTER_CACHE[key] = _wide_filter_fn(col, op)
         val = jnp.asarray(_stage_value_wide(col.dtype, value))
-        return fn(
+        bm = fn(
             device_streams(wide._sub(col, "lo")),
             device_streams(wide._sub(col, "hi")),
             val,
         )
+        return bm & nulls.valid_words_device(col) if nullable else bm
 
     key = (col.static_key(), op)
     fn = _FILTER_CACHE.get(key)
     if fn is None:
         if col.scheme in ("nbit", "dzbf", "for"):
-            fn = jax.jit(_epilogue_filter_call(col, op))
+            base = _epilogue_filter_call(col, op)
         else:
             ng = num_groups(col.n)
             dt = np_dtype(col.dtype)
             kind, itemsize = dt.kind, dt.itemsize
             decoder = get_decoder(col)
 
-            def general(streams, val):
+            def base(streams, val):
                 u = decoder(streams).reshape(ng, SLOTS, LANES)
                 hits = _cmp(u, val[0, 0], op, kind, itemsize).astype(jnp.uint32)
                 i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
                 # bits occupy distinct positions, so sum == bitwise-or
                 return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
 
-            fn = jax.jit(general)
+        if nullable:  # validity folds into the same dispatch
+            fn = jax.jit(lambda streams, val, vw, _b=base: _b(streams, val) & vw)
+        else:
+            fn = jax.jit(base)
         _FILTER_CACHE[key] = fn
-    return fn(device_streams(col), jnp.asarray(_stage_value(col.dtype, value)))
+    args = (device_streams(col), jnp.asarray(_stage_value(col.dtype, value)))
+    return fn(*args, nulls.valid_words_device(col)) if nullable else fn(*args)
 
 
 def _tail_mask(n: int) -> np.ndarray:
@@ -379,7 +386,9 @@ def bitmap_or(a, b):
 
 
 def bitmap_not(words, n: int):
-    """Complement within the column (pad bits forced to 0)."""
+    """Complement within the column (pad bits forced to 0). SQL NOT over a
+    nullable column's predicate must also exclude the nulls: AND the result
+    with nulls.notnull_bitmap(col) (NOT(unknown) is unknown, not true)."""
     return _mask_pad(~jnp.asarray(words), n)
 
 
@@ -443,7 +452,13 @@ def filter_bitmap_cols(a: EncodedColumn, b: EncodedColumn, op: str) -> jax.Array
             return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
 
         fn = _FILTER_CACHE[key] = jax.jit(both)
-    return fn(device_streams(a), device_streams(b))
+    bm = fn(device_streams(a), device_streams(b))
+    from . import nulls
+
+    for c in (a, b):  # SQL: a row with either side NULL never matches
+        if nulls.is_nullable(c):
+            bm = bm & nulls.valid_words_device(c)
+    return bm
 
 
 def _key_space(v, kind: str, itemsize: int):

@@ -96,12 +96,17 @@ def stream_count_where(col: EncodedColumn, op: str, value, *, chunk_groups: int 
     upload/decode overlap without accumulating all bitmaps. Semantics
     match query.count_where, including float total order and the
     mod-2^32 staging of out-of-range integer values."""
+    from . import nulls
     from .query import _OPS, count_bits, filter_bitmap, host_cmp_mask
-    from .util import NP_CMP, dtype_to_u32
+    from .util import GROUP, NP_CMP, dtype_to_u32
 
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
     ng = num_groups(col.n)
+    # nullable chunks carry their validity window (GroupSlicer.slice), so
+    # the device path is null-correct per chunk; the host fallbacks below
+    # mask explicitly
+    vmask = nulls.valid_mask(col) if nulls.is_nullable(col) else None
 
     if col.scheme == "wide":
         # planes recombine at the host boundary anyway: compare streamed
@@ -111,9 +116,14 @@ def stream_count_where(col: EncodedColumn, op: str, value, *, chunk_groups: int 
 
         vk = _key_scalar(value, col.dtype)
         total = 0
+        pos = 0
         for chunk in stream_decode(col, chunk_groups=chunk_groups):
             keys = _keys(np.asarray(chunk), col.dtype)
-            total += int(NP_CMP[op](keys, vk).sum())
+            m = NP_CMP[op](keys, vk)
+            if vmask is not None:
+                m = m & vmask[pos : pos + keys.shape[0]]
+            total += int(m.sum())
+            pos += keys.shape[0]
         return total
 
     slicer = GroupSlicer(col)
@@ -129,7 +139,10 @@ def stream_count_where(col: EncodedColumn, op: str, value, *, chunk_groups: int 
             # device chunks (exceptions are rare; the base path below
             # covers the steady state)
             u = dtype_to_u32(slicer.decode(c0, c1))
-            total += int(host_cmp_mask(u, op, value, col.dtype).sum())
+            m = host_cmp_mask(u, op, value, col.dtype)
+            if vmask is not None:
+                m = m & vmask[c0 * GROUP : c0 * GROUP + sub.n]
+            total += int(m.sum())
             continue
         pending.append((filter_bitmap(sub, op, value), sub.n))  # enqueued
         if len(pending) > depth:

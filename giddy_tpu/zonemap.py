@@ -126,6 +126,7 @@ def count_where_pruned(col: EncodedColumn, op: str, value) -> int:
     count by size, all-false groups are skipped, the rest decode
     group-by-group (partial.GroupSlicer). On selective predicates over
     clustered data this reads a small fraction of the column."""
+    from . import nulls
     from .partial import GroupSlicer
     from .query import _OPS
 
@@ -133,7 +134,17 @@ def count_where_pruned(col: EncodedColumn, op: str, value) -> int:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
     zm = zone_map(col)
     all_true, all_false = _split_masks(zm, op, value)
-    count = sum(_group_len(int(g), col.n) for g in np.flatnonzero(all_true))
+    # nullable: zone bounds are computed over the canonical fill, which
+    # only repeats valid values, so pruning decisions stay sound — but
+    # null rows must not be counted (SQL: NULL never matches), so
+    # all-true groups count their VALID rows and undecided groups mask
+    nullable = nulls.is_nullable(col)
+    if nullable:
+        vw = col.streams["valid"]
+        vmask = nulls.valid_mask(col)
+        count = int(np.bitwise_count(vw[all_true]).sum())
+    else:
+        count = sum(_group_len(int(g), col.n) for g in np.flatnonzero(all_true))
     undecided = np.flatnonzero(~all_true & ~all_false)
     if undecided.size == 0:
         return int(count)
@@ -150,7 +161,10 @@ def count_where_pruned(col: EncodedColumn, op: str, value) -> int:
     cmp = NP_CMP[op]
     for g in undecided:
         vals = _keys(dec(g), col.dtype)
-        count += int(cmp(vals, vk).sum())
+        m = cmp(vals, vk)
+        if nullable:
+            m = m & vmask[int(g) * GROUP : int(g) * GROUP + vals.shape[0]]
+        count += int(m.sum())
     return int(count)
 
 

@@ -188,11 +188,40 @@ def main() -> None:
     col = gt.encode(gen_column("delta", 16 * GROUP, rng), "delta")
     fn = _scan_fn(col, default_mesh(), "d", "filter", "lt")
     hlo = fn.lower(
-        jnp.asarray(_stage_value(col.dtype, 0)), *_args(col, default_mesh(), "d")
+        jnp.asarray(_stage_value(col.dtype, 0)), None, *_args(col, default_mesh(), "d")
     ).compile().as_text().lower()
     for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all", "reduce-scatter"):
         assert coll not in hlo, coll
+    # nullable twin: the validity AND must also stay shard-local
+    from giddy_tpu.dist_query import _valid_arg
+
+    vn = gen_column("delta", 16 * GROUP, rng)
+    vm = rng.random(vn.size) >= 0.1
+    ncol = gt.encode(vn, "delta", valid=vm)
+    fnn = _scan_fn(ncol, default_mesh(), "d", "filter", "lt")
+    hlo = fnn.lower(
+        jnp.asarray(_stage_value(ncol.dtype, 0)),
+        _valid_arg(ncol, default_mesh(), "d"),
+        *_args(ncol, default_mesh(), "d"),
+    ).compile().as_text().lower()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, ("nullable", coll)
     print("[dist] zero-collective-scan: ok", flush=True)
+    # nullable columns: sharded scans/aggregates skip null rows exactly
+    from giddy_tpu.dist_query import group_reduce_sharded as grs
+
+    med = int(np.median(vn[vm]))
+    assert count_where_sharded(ncol, "lt", med) == int((vn[vm] < med).sum())
+    assert sum_sharded(ncol) == int(vn[vm].astype(np.int64).sum())
+    assert min_sharded(ncol) == int(vn[vm].min())
+    kvn = vocab[rng.integers(0, 12, vn.size)]
+    nkeys = gt.encode(kvn, "dict", valid=vm)
+    rn = grs(nkeys, gt.encode(mv[: vn.size], "for"), ("count", "sum"))
+    codes_n = np.searchsorted(vocab, kvn)
+    for c in range(12):
+        sel = mv[: vn.size][vm & (codes_n == c)]
+        assert rn.count[c] == sel.size and rn.sum[c] == int(sel.astype(np.int64).sum())
+    print("[dist] nullable: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).
