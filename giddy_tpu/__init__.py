@@ -13,6 +13,8 @@ from .api import decode, decode_columns, decode_ref, encode, get_decoder
 from .format import EncodedColumn, container_bytes, read_container, write_container
 from .nulls import count_valid, decode_masked, null_count, valid_mask
 from .registry import get, plan, schemes
+from .table import Table
+from .topk import order_by, top_k
 from .util import GROUP, LANES, SLOTS
 
 __version__ = "0.1.0"
@@ -22,6 +24,7 @@ __all__ = [
     "GROUP",
     "LANES",
     "SLOTS",
+    "Table",
     "container_bytes",
     "count_valid",
     "decode",
@@ -32,8 +35,10 @@ __all__ = [
     "get",
     "get_decoder",
     "null_count",
+    "order_by",
     "plan",
     "read_container",
+    "top_k",
     "schemes",
     "valid_mask",
     "write_container",

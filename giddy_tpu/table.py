@@ -1,0 +1,190 @@
+"""Table façade: the multi-column scan API over a container.
+
+The reference is a kernel library; its DBMS caller (MonetDB) owned the
+table abstraction (SURVEY.md §1). A standalone framework needs one: this
+module binds same-length encoded columns into a ``Table`` and routes the
+whole scan pipeline through the right per-column machinery — numeric
+predicates to query.py's fused filter kernels, string predicates to
+strings.py's dictionary range rewrite, GROUP BY to groupby.py, ORDER BY
+to topk.py — composing everything on LMP(1) bitmaps so multi-column
+WHERE clauses AND together on device and rows materialize only at the
+very end (and only for the selected columns' matching groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .format import EncodedColumn
+
+
+class Table:
+    """Named, same-length encoded columns with a scan API."""
+
+    def __init__(self, columns):
+        cols = list(columns.values()) if isinstance(columns, dict) else list(columns)
+        if not cols:
+            raise ValueError("a Table needs at least one column")
+        names = [c.name for c in cols]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate column names: {names}")
+        n = cols[0].n
+        for c in cols:
+            if c.n != n:
+                raise ValueError(f"column {c.name!r} has n={c.n}, expected {n}")
+        self._cols = {c.name: c for c in cols}
+        self.n = n
+
+    # --- plumbing ---------------------------------------------------------
+
+    @classmethod
+    def read(cls, data) -> "Table":
+        """From container bytes / a file object (format.read_container)."""
+        from .format import read_container
+
+        return cls(read_container(data))
+
+    @classmethod
+    def open(cls, path: str) -> "Table":
+        from .format import open_container
+
+        return cls(open_container(path))
+
+    def to_bytes(self) -> bytes:
+        from .format import container_bytes
+
+        return container_bytes(list(self._cols.values()))
+
+    def save(self, path: str) -> None:
+        from .format import write_container
+
+        with open(path, "wb") as f:
+            write_container(list(self._cols.values()), f)
+
+    @property
+    def names(self) -> list[str]:
+        return list(self._cols)
+
+    def __getitem__(self, name: str) -> EncodedColumn:
+        try:
+            return self._cols[name]
+        except KeyError:
+            raise KeyError(f"no column {name!r}; have {self.names}") from None
+
+    def __len__(self) -> int:
+        return self.n
+
+    # --- predicates ---------------------------------------------------------
+
+    def where(self, name: str, op: str, value):
+        """LMP(1) match bitmap for one predicate — string columns route to
+        the dictionary rewrite (incl. startswith/contains), numeric columns
+        to the fused filter kernels. Compose with bitmap_and/or/not."""
+        col = self[name]
+        if col.scheme == "strdict":
+            from .strings import filter_bitmap_str
+
+            return filter_bitmap_str(col, op, value)
+        from .query import filter_bitmap
+
+        return filter_bitmap(col, op, value)
+
+    def where_all(self, *predicates):
+        """AND of (name, op, value) predicates — the multi-column WHERE.
+        All filter kernels run in sequence on-device; only bitmaps live."""
+        bm = None
+        for name, op, value in predicates:
+            b = self.where(name, op, value)
+            bm = b if bm is None else (bm & b)
+        if bm is None:
+            raise ValueError("where_all needs at least one predicate")
+        return bm
+
+    def count(self, *predicates) -> int:
+        from .query import count_bits
+
+        return count_bits(self.where_all(*predicates), self.n)
+
+    # --- materialization ------------------------------------------------------
+
+    def select(self, names=None, bitmap=None, *predicates) -> dict[str, np.ndarray]:
+        """Rows matching ``bitmap`` (or the AND of ``predicates``) for the
+        requested columns; decodes only the groups containing matches.
+        With neither bitmap nor predicates, decodes the full columns."""
+        names = self.names if names is None else list(names)
+        if predicates:
+            pbm = self.where_all(*predicates)
+            bitmap = pbm if bitmap is None else (np.asarray(bitmap) & np.asarray(pbm))
+        out = {}
+        if bitmap is None:
+            from .api import decode
+
+            for nm in names:
+                out[nm] = np.asarray(decode(self[nm]))
+            return out
+        from .ref.lmp import lmp_unpack
+        from .util import LANES, num_groups
+
+        words = np.asarray(bitmap).reshape(num_groups(self.n), LANES)
+        idx = np.flatnonzero(lmp_unpack(words, 1, self.n).astype(bool))
+        return {nm: self.take(nm, idx) for nm in names}
+
+    def take(self, name: str, indices) -> np.ndarray:
+        col = self[name]
+        if col.scheme == "strdict":
+            from .partial import take
+            from .strings import codes_column, dictionary
+
+            codes = take(codes_column(col), indices)
+            return dictionary(col)[codes.astype(np.int64)]
+        from .partial import take
+
+        return take(col, indices)
+
+    # --- aggregates -------------------------------------------------------------
+
+    def agg(self, name: str, agg: str):
+        """sum/min/max/avg/count/distinct (null-aware; strings answer
+        min/max/distinct from the dictionary)."""
+        col = self[name]
+        if col.scheme == "strdict":
+            from . import strings
+
+            fn = {"min": strings.min_str, "max": strings.max_str,
+                  "distinct": strings.distinct_count_str}
+            if agg == "count":
+                from .nulls import count_valid
+
+                return count_valid(col)
+            if agg not in fn:
+                raise ValueError(f"string columns support min/max/distinct/count, not {agg!r}")
+            return fn[agg](col)
+        from .aggregate import avg_, distinct_count, max_, min_, sum_
+        from .nulls import count_valid
+
+        fn = {"sum": sum_, "min": min_, "max": max_, "avg": avg_,
+              "count": count_valid, "distinct": distinct_count}
+        if agg not in fn:
+            raise ValueError(f"agg must be one of {sorted(fn)}, got {agg!r}")
+        return fn[agg](col)
+
+    def groupby(self, keys: str, vals: str | None = None,
+                aggs=("count",), *predicates):
+        """GROUP BY a dictionary-backed (dict/cascade/strdict) key column,
+        optionally under the AND of (name, op, value) predicates."""
+        from .groupby import group_reduce
+
+        bm = self.where_all(*predicates) if predicates else None
+        return group_reduce(self[keys], self[vals] if vals else None, tuple(aggs), bm)
+
+    def top_k(self, name: str, k: int, *, largest: bool = True,
+              select=None):
+        """ORDER BY name LIMIT k: (values, positions), plus the other
+        requested columns' rows at those positions."""
+        from .topk import top_k
+
+        vals, pos = top_k(self[name], k, largest=largest)
+        if select is None:
+            return vals, pos
+        rows = {nm: self.take(nm, pos) for nm in select}
+        return vals, pos, rows
