@@ -402,14 +402,108 @@ def count_between(col: EncodedColumn, lo: int, hi: int) -> int:
 
 
 def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
-    """Bitmap of membership in a small value set (OR of eq scans — one
-    compiled kernel total, since the compare value is a runtime argument)."""
+    """Bitmap of membership in a value set. Small sets OR eq scans (one
+    compiled kernel total — the compare value is a runtime argument);
+    larger sets run ONE device pass: vectorized binary search of each
+    decoded payload in the sorted staged set (floats match in bitpattern
+    space there, like the dictionary build)."""
     vals = list(dict.fromkeys(int(v) for v in np.asarray(values).reshape(-1)))
     if not vals:
         return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    if len(vals) > 8:
+        return _isin_searched(col, vals)
     acc = filter_bitmap(col, "eq", vals[0])
     for v in vals[1:]:
         acc = acc | filter_bitmap(col, "eq", v)
+    return acc
+
+
+def _isin_searched(col: EncodedColumn, vals):
+    """One-jit membership: decode -> searchsorted into the staged set.
+    The set is a runtime argument padded to a power of two (repeating its
+    maximum keeps it sorted), so set sizes share compilations."""
+    from . import nulls
+    from .api import device_streams, get_decoder
+
+    # payload space: narrow ints are stored zero-extended, so mask staged
+    # values to the payload width (an int8 -5 is payload 0xFB). Narrow
+    # dtypes first drop unrepresentable values — the eq-scan path compares
+    # sign-extended and would never match them (32-bit keeps the
+    # documented mod-2^32 staging).
+    dt = np_dtype(col.dtype)
+    bits = 8 * dt.itemsize
+    if bits < 32:
+        lo, hi = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if dt.kind == "i" else (0, (1 << bits) - 1)
+        vals = [v for v in vals if lo <= v <= hi]
+        if not vals:
+            return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    staged = np.unique(
+        (np.array(vals, dtype=np.int64) & ((1 << bits) - 1)).astype(np.uint32)
+    )
+    m = 1 << (int(staged.size - 1).bit_length())
+    staged = np.concatenate([staged, np.repeat(staged[-1:], m - staged.size)])
+    key = (col.static_key(), "isin", m)
+    fn = _FILTER_CACHE.get(key)
+    if fn is None:
+        ng = num_groups(col.n)
+        decoder = get_decoder(col)
+
+        def search(streams, table):
+            u = decoder(streams).reshape(ng, SLOTS, LANES)
+            pos = jnp.clip(jnp.searchsorted(table, u.reshape(-1)), 0, table.shape[0] - 1)
+            hits = (table[pos] == u.reshape(-1)).reshape(ng, SLOTS, LANES).astype(jnp.uint32)
+            i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
+            return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
+
+        fn = _FILTER_CACHE[key] = jax.jit(search)
+    bm = fn(device_streams(col), jnp.asarray(staged))
+    if nulls.is_nullable(col):
+        bm = bm & nulls.valid_words_device(col)
+    return bm
+
+
+def dict_mask_bitmap(col: EncodedColumn, mask: np.ndarray):
+    """Bitmap of rows whose dictionary entry is set in ``mask`` (bool[d]) —
+    dict/cascade/strdict columns. Contiguous-ish masks rewrite to ≤8 code
+    range scans; fragmented masks run one jitted lookup-table pass over
+    the decoded codes (the table is a runtime argument). The semi-join
+    primitive."""
+    from . import nulls
+    from .groupby import _codes_device_column
+
+    mask = np.asarray(mask, bool)
+    d = col.params["dict_size"]
+    if mask.shape != (d,):
+        raise ValueError(f"mask must have shape ({d},), got {mask.shape}")
+    inner = _codes_device_column(col)
+    bounds = np.flatnonzero(np.diff(mask.astype(np.int8), prepend=0, append=0))
+    ranges = list(zip(bounds[0::2].tolist(), bounds[1::2].tolist()))
+    acc = None
+    if len(ranges) <= 8:
+        for s, e in ranges:
+            bm = filter_bitmap(inner, "eq", s) if e - s == 1 else between_bitmap(inner, s, e - 1)
+            acc = bm if acc is None else (acc | bm)
+        if acc is None:
+            acc = jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    else:
+        from .api import device_streams, get_decoder
+
+        key = (col.static_key(), "dictlut")
+        fn = _FILTER_CACHE.get(key)
+        if fn is None:
+            ng = num_groups(col.n)
+            decoder = get_decoder(inner)
+
+            def lut(streams, table):
+                codes = decoder(streams).reshape(ng, SLOTS, LANES)
+                hits = table[codes].astype(jnp.uint32)
+                i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
+                return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
+
+            fn = _FILTER_CACHE[key] = jax.jit(lut)
+        acc = fn(device_streams(inner), jnp.asarray(mask.astype(np.uint32)))
+    if nulls.is_nullable(col):
+        acc = acc & nulls.valid_words_device(col)
     return acc
 
 

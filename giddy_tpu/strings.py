@@ -264,6 +264,29 @@ def count_where_str_sharded(col: EncodedColumn, op: str, value, mesh=None, axis=
     return count_bits(filter_bitmap_str_sharded(col, op, value, mesh, axis), col.n)
 
 
+def isin_bitmap_str(col: EncodedColumn, values):
+    """Bitmap of membership in a set of strings — the set evaluates over
+    the dictionary host-side, then a code-range scan (few ranges) or one
+    device lookup-table pass (fragmented sets)."""
+    want = {v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values}
+    off = col.streams["values_offsets"]
+    blob = col.streams["values_bytes"].tobytes()
+    d = col.params["dict_size"]
+    mask = np.fromiter(
+        (blob[int(off[i]) : int(off[i + 1])] in want for i in range(d)), bool, count=d
+    )
+    return dict_mask_bitmap(col, mask)
+
+
+def dict_mask_bitmap(col: EncodedColumn, mask: np.ndarray):
+    """Bitmap of rows whose dictionary entry is set in ``mask`` (bool[d]) —
+    delegates to the shared dictionary-mask machinery (range scans for
+    contiguous masks, one lookup-table pass for fragmented ones)."""
+    from .query import dict_mask_bitmap as dmb
+
+    return dmb(col, mask)
+
+
 # --- aggregates (dictionary answers, no decode) -------------------------------
 
 

@@ -18,6 +18,34 @@ import numpy as np
 from .format import EncodedColumn
 
 
+def _distinct_values(col: EncodedColumn):
+    """The distinct NON-NULL values of a column (the semi-join build set).
+    Dictionary-backed columns answer from the dictionary (dense: every
+    entry occurs; strdict dictionaries are always dense); anything else
+    decodes and uniques host-side (null rows excluded)."""
+    from . import nulls
+
+    if col.scheme == "strdict":
+        from .strings import dictionary
+
+        d = dictionary(col)
+        if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
+            return []
+        return list(d)
+    if col.scheme in ("dict", "cascade") and col.params.get("dense"):
+        if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
+            return []
+        from .groupby import key_values
+
+        return [int(v) for v in key_values(col)]
+    from .api import decode
+
+    v = np.asarray(decode(col))
+    if nulls.is_nullable(col):
+        v = v[nulls.valid_mask(col)]
+    return [int(x) for x in np.unique(v)]
+
+
 class Table:
     """Named, same-length encoded columns with a scan API."""
 
@@ -104,6 +132,46 @@ class Table:
         from .query import count_bits
 
         return count_bits(self.where_all(*predicates), self.n)
+
+    def isin(self, name: str, values):
+        """Membership bitmap: string columns via the dictionary, numeric
+        via eq-scan OR (small sets) or device binary search (large sets)."""
+        col = self[name]
+        if col.scheme == "strdict":
+            from .strings import isin_bitmap_str
+
+            return isin_bitmap_str(col, values)
+        from .query import isin_bitmap
+
+        return isin_bitmap(col, values)
+
+    def semi_join(self, name: str, other, other_name: str | None = None):
+        """Bitmap of rows whose ``name`` value appears in another column —
+        the DBMS semi-join (WHERE a.x IN (SELECT y FROM b)). ``other`` is a
+        Table (with ``other_name``) or an EncodedColumn. Dictionary-backed
+        probe columns evaluate membership over their dictionary (O(d) host
+        set test + a range/lookup scan); others go through isin. The build
+        side's distinct set comes from its dictionary when it has one,
+        else a decode+unique. Null rows on either side never match (SQL:
+        NULL IN (...) is unknown)."""
+        col = self[name]
+        build = other[other_name] if isinstance(other, Table) else other
+        build_set = _distinct_values(build)
+        if col.scheme == "strdict":
+            from .strings import isin_bitmap_str
+
+            return isin_bitmap_str(col, list(build_set))
+        if col.scheme in ("dict", "cascade"):
+            from .groupby import key_values
+            from .query import dict_mask_bitmap
+
+            kv = key_values(col)
+            want = set(int(v) for v in build_set)
+            mask = np.fromiter((int(v) in want for v in kv), bool, count=kv.shape[0])
+            return dict_mask_bitmap(col, mask)
+        from .query import isin_bitmap
+
+        return isin_bitmap(col, list(build_set))
 
     # --- materialization ------------------------------------------------------
 

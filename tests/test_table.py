@@ -97,3 +97,64 @@ def test_table_validation():
     t = Table([a])
     with pytest.raises(KeyError, match="no column"):
         t["zzz"]
+
+
+def test_isin_and_semi_join():
+    rng = np.random.default_rng(5)
+    n = GROUP + 33
+    t, ts, amount, status = _table(n, rng)
+    from giddy_tpu.query import count_bits
+
+    want_vals = [b"ok", b"err"]
+    bm = t.isin("status", want_vals)
+    assert count_bits(bm, n) == int(np.isin(status, want_vals).sum())
+
+    # large numeric set -> the device binary-search path
+    vals = rng.choice(10_000, 200, replace=False).tolist()
+    bm = t.isin("amount", vals)
+    assert count_bits(bm, n) == int(np.isin(amount, vals).sum())
+
+    # semi-join: rows of t whose amount appears in another table's column
+    other_amounts = rng.integers(0, 10_000, 500, dtype=np.int64).astype(np.int32)
+    other = Table([gt.encode(other_amounts, "nbit", name="amt2")])
+    bm = t.semi_join("amount", other, "amt2")
+    assert count_bits(bm, n) == int(np.isin(amount, other_amounts).sum())
+
+    # dictionary-backed probe side: cascade column joined against raw
+    kv = np.array([3, 7, 11, 20, 40, 55], np.int32)[rng.integers(0, 6, n)]
+    t2 = Table([gt.encode(kv, "cascade", name="k")])
+    build = gt.encode(np.array([7, 40, 999], np.int32), "raw", name="b")
+    bm = t2.semi_join("k", build)
+    assert count_bits(bm, n) == int(np.isin(kv, [7, 40]).sum())
+
+    # string semi-join against another string column
+    other_status = strings.encode_strings([b"ok", b"ok", b"new"], name="s2")
+    bm = t.semi_join("status", other_status)
+    assert count_bits(bm, n) == int(np.isin(status, [b"ok", b"new"]).sum())
+
+
+def test_dict_mask_fragmented_lut():
+    from giddy_tpu.query import count_bits, dict_mask_bitmap
+
+    rng = np.random.default_rng(6)
+    n = GROUP + 9
+    vocab = (np.arange(64, dtype=np.int32) * 3) - 50
+    v = vocab[rng.integers(0, 64, n)]
+    col = gt.encode(v, "dict", name="d")
+    mask = rng.random(64) < 0.5  # fragmented: forces the lookup-table path
+    assert int(np.flatnonzero(np.diff(mask.astype(np.int8), prepend=0, append=0)).size) > 16
+    bm = dict_mask_bitmap(col, mask)
+    assert count_bits(bm, n) == int(np.isin(v, vocab[mask]).sum())
+
+
+def test_isin_narrow_and_nullable():
+    from giddy_tpu.query import count_bits, isin_bitmap
+
+    rng = np.random.default_rng(7)
+    n = GROUP + 5
+    v = rng.integers(-100, 100, n, dtype=np.int64).astype(np.int32)
+    m = rng.random(n) >= 0.2
+    col = gt.encode(v, "raw", valid=m)
+    vals = list(range(-50, -20)) + [999999]  # >8 values: searchsorted path
+    bm = isin_bitmap(col, vals)
+    assert count_bits(bm, n) == int((np.isin(v, vals) & m).sum())
