@@ -72,6 +72,38 @@ def cmd_encode(args) -> None:
     )
 
 
+def cmd_pack(args) -> None:
+    """Build a multi-column container: each spec is name=scheme:file.npy
+    (scheme 'auto' uses the advisor; 'strdict' loads a list via np.load
+    allow_pickle or a unicode array)."""
+    from . import encode
+    from .format import write_container
+
+    cols = []
+    for spec in args.columns:
+        try:
+            name, rest = spec.split("=", 1)
+            scheme, path = rest.split(":", 1)
+        except ValueError:
+            raise SystemExit(f"bad column spec {spec!r}; want name=scheme:file.npy")
+        v = np.load(path, allow_pickle=scheme == "strdict")
+        if scheme == "strdict":
+            from .strings import encode_strings
+
+            cols.append(encode_strings(list(v), name=name))
+        elif scheme == "auto":
+            from .advisor import encode_best
+
+            cols.append(encode_best(v, name=name))
+        else:
+            cols.append(encode(v, scheme, name=name))
+    with open(args.out, "wb") as f:
+        write_container(cols, f)
+    total_dec = sum(c.nbytes_decoded for c in cols)
+    total_cmp = sum(c.nbytes_compressed for c in cols)
+    print(f"{len(cols)} columns -> {args.out}: {total_dec} -> {total_cmp} bytes")
+
+
 def cmd_decode(args) -> None:
     from . import decode, decode_ref
 
@@ -242,6 +274,11 @@ def main(argv=None) -> None:
     e.add_argument("--measure", action="store_true",
                    help="with scheme=auto: settle near-ties by measured device decode throughput")
     e.set_defaults(fn=cmd_encode)
+
+    pk = sub.add_parser("pack", help="build a multi-column container from .npy files")
+    pk.add_argument("columns", nargs="+", metavar="name=scheme:file.npy")
+    pk.add_argument("--out", default="table.gtp")
+    pk.set_defaults(fn=cmd_pack)
 
     d = sub.add_parser("decode")
     d.add_argument("input")

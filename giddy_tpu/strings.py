@@ -53,17 +53,23 @@ def _to_bytes_list(values) -> tuple[list[bytes], str]:
     return out, kind
 
 
+AUTO_INNER = ("rle", "nbit", "delta", "for")
+
+
 def encode_strings(
     values,
     *,
-    codes_scheme: str = "rle",
+    codes_scheme: str = "auto",
     name: str = "col",
     valid=None,
     **codes_opts,
 ) -> EncodedColumn:
-    """Encode a sequence of str/bytes. ``valid``: optional bool[n] mask
-    (nulls canonically fill with the previous valid value's CODE — the
-    nulls.py contract, applied in code space)."""
+    """Encode a sequence of str/bytes. ``codes_scheme`` "auto" trial-
+    encodes the code column with each of AUTO_INNER and keeps the
+    smallest (runs of repeated strings land on rle, high-cardinality
+    shuffles on nbit). ``valid``: optional bool[n] mask (nulls canonically
+    fill with the previous valid value's CODE — the nulls.py contract,
+    applied in code space)."""
     bl, kind = _to_bytes_list(values)
     n = len(bl)
     if n == 0:
@@ -79,7 +85,13 @@ def encode_strings(
         else:
             arr = fill_nulls(arr, mask)
     dic, codes = np.unique(arr, return_inverse=True)  # bytes-lex sorted
-    ccol = registry.get(codes_scheme).encode(codes.astype(np.int32), name="_codes", **codes_opts)
+    codes = codes.astype(np.int32)
+    if codes_scheme == "auto":
+        trials = [registry.get(s).encode(codes, name="_codes") for s in AUTO_INNER]
+        ccol = min(trials, key=lambda c: c.nbytes_compressed)
+        codes_scheme = ccol.scheme
+    else:
+        ccol = registry.get(codes_scheme).encode(codes, name="_codes", **codes_opts)
     offsets = np.zeros(dic.shape[0] + 1, np.int64)
     np.cumsum([len(b) for b in dic], out=offsets[1:])
     blob = np.frombuffer(b"".join(dic), dtype=np.uint8).copy() if offsets[-1] else np.zeros(0, np.uint8)

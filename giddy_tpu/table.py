@@ -245,6 +245,39 @@ class Table:
         bm = self.where_all(*predicates) if predicates else None
         return group_reduce(self[keys], self[vals] if vals else None, tuple(aggs), bm)
 
+    def to_pandas(self, bitmap=None, *predicates):
+        """Materialize (optionally the matching rows of) the table as a
+        pandas DataFrame — the interop boundary for everything downstream
+        of the scan. Nullable columns surface as pandas NA values."""
+        import pandas as pd
+
+        from .nulls import is_nullable, valid_mask
+
+        bm = None
+        if predicates:
+            bm = self.where_all(*predicates)
+            if bitmap is not None:
+                bm = np.asarray(bitmap) & np.asarray(bm)
+        elif bitmap is not None:
+            bm = bitmap
+        rows = self.select(None, bm)
+        idx = None
+        if bm is not None:
+            from .ref.lmp import lmp_unpack
+            from .util import LANES, num_groups
+
+            words = np.asarray(bm).reshape(num_groups(self.n), LANES)
+            idx = np.flatnonzero(lmp_unpack(words, 1, self.n).astype(bool))
+        df = pd.DataFrame(rows)
+        for nm in self.names:
+            col = self[nm]
+            if is_nullable(col):
+                m = valid_mask(col) if idx is None else valid_mask(col)[idx]
+                s = df[nm].astype(object)
+                s[~m] = pd.NA
+                df[nm] = s
+        return df
+
     def top_k(self, name: str, k: int, *, largest: bool = True,
               select=None):
         """ORDER BY name LIMIT k: (values, positions), plus the other

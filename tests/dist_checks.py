@@ -222,6 +222,16 @@ def main() -> None:
         sel = mv[: vn.size][vm & (codes_n == c)]
         assert rn.count[c] == sel.size and rn.sum[c] == int(sel.astype(np.int64).sum())
     print("[dist] nullable: ok", flush=True)
+    # string columns: sharded predicate scans lower to code-range scans
+    from giddy_tpu.strings import count_where_str_sharded, encode_strings
+
+    words = [b"ant", b"bee", b"cat", b"dog", b"elk"]
+    sv = [words[i] for i in np.repeat(rng.integers(0, 5, 2 * GROUP), 40)[: 16 * GROUP]]
+    scol = encode_strings(sv, codes_scheme="rle")
+    sva = np.array(sv, object)
+    assert count_where_str_sharded(scol, "ge", b"cat") == int((sva >= b"cat").sum())
+    assert count_where_str_sharded(scol, "eq", b"bee") == int((sva == b"bee").sum())
+    print("[dist] strings: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).

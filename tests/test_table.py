@@ -158,3 +158,22 @@ def test_isin_narrow_and_nullable():
     vals = list(range(-50, -20)) + [999999]  # >8 values: searchsorted path
     bm = isin_bitmap(col, vals)
     assert count_bits(bm, n) == int((np.isin(v, vals) & m).sum())
+
+
+def test_to_pandas_with_nulls():
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(8)
+    n = GROUP + 3
+    v = rng.integers(0, 100, n, dtype=np.int64).astype(np.int32)
+    m = rng.random(n) >= 0.3
+    t = Table([gt.encode(v, "raw", name="x", valid=m),
+               gt.encode(v * 2, "raw", name="y")])
+    df = t.to_pandas()
+    assert len(df) == n
+    assert int(df["x"].isna().sum()) == int((~m).sum())
+    np.testing.assert_array_equal(df["y"].to_numpy(), v * 2)
+    # filtered materialization
+    df2 = t.to_pandas(None, ("y", "lt", 50))
+    sel = v * 2 < 50
+    assert len(df2) == int(sel.sum())
+    assert int(df2["x"].isna().sum()) == int((~m & sel).sum())
