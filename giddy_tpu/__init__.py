@@ -11,6 +11,7 @@ kernels.* (L3) → registry + api (L4) → dist (L6, multi-host; new scope).
 
 from .api import decode, decode_columns, decode_ref, encode, get_decoder
 from .format import EncodedColumn, container_bytes, read_container, write_container
+from .join import join_indices, join_tables
 from .nulls import count_valid, decode_masked, null_count, valid_mask
 from .registry import get, plan, schemes
 from .table import Table
@@ -34,6 +35,8 @@ __all__ = [
     "encode",
     "get",
     "get_decoder",
+    "join_indices",
+    "join_tables",
     "null_count",
     "order_by",
     "plan",

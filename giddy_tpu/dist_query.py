@@ -214,6 +214,153 @@ def _wide_filter_sharded(col, op, value, mesh, axis):
     return words[:ng]
 
 
+def _isin_scan_fn(col, mesh, axis, m: int):
+    """Cached jitted membership fold: sharded decode -> binary search of
+    each payload in the replicated staged set (query._isin_searched's
+    sharded twin; the table gather is shard-local, so no collectives)."""
+    key = (col.static_key(), "isin", m, tuple(mesh.axis_names),
+           mesh.devices.shape, axis if isinstance(axis, str) else tuple(axis))
+    fn = _SCAN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    decode_fn, _ = build_sharded_decoder(col, mesh, axis)
+    ng_pad = cdiv(num_groups(col.n), _nd(mesh, axis)) * _nd(mesh, axis)
+    n = col.n
+
+    def fold(table, vw, *dargs):
+        x = decode_fn(*dargs).reshape(ng_pad, SLOTS, LANES)
+        g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
+        s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
+        valid = (g * GROUP + s * LANES + lane) < n
+        if vw is not None:
+            bit = (vw[:, None, :] >> s.astype(jnp.uint32)) & jnp.uint32(1)
+            valid = valid & (bit == jnp.uint32(1))
+        u = x.reshape(-1)
+        pos = jnp.clip(jnp.searchsorted(table, u), 0, m - 1)
+        hit = (table[pos] == u).reshape(ng_pad, SLOTS, LANES)
+        hits = (hit & valid).astype(jnp.uint32)
+        return jnp.sum(hits << s.astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+
+    fn = _SCAN_CACHE[key] = jax.jit(fold)
+    return fn
+
+
+def _isin_wide_fn(col, mesh, axis, m: int):
+    """Wide twin: both planes decode sharded, (hi, lo) pairs lower-bound
+    the lexicographically sorted staged set in log2(m) branchless steps
+    (query._isin_searched_wide's sharded twin)."""
+    from . import wide
+
+    key = (col.static_key(), "isin_wide", m, tuple(mesh.axis_names),
+           mesh.devices.shape, axis if isinstance(axis, str) else tuple(axis))
+    fn = _SCAN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    lo_col, hi_col = wide._sub(col, "lo"), wide._sub(col, "hi")
+    dlo, _ = build_sharded_decoder(lo_col, mesh, axis)
+    dhi, _ = build_sharded_decoder(hi_col, mesh, axis)
+    n_lo = len(_args(lo_col, mesh, axis))
+    ng_pad = cdiv(num_groups(col.n), _nd(mesh, axis)) * _nd(mesh, axis)
+    n = col.n
+
+    def fold(tlo, thi, vw, *dargs):
+        lo = dlo(*dargs[:n_lo]).reshape(ng_pad, SLOTS, LANES)
+        hi = dhi(*dargs[n_lo:]).reshape(ng_pad, SLOTS, LANES)
+        pos = jnp.zeros(lo.shape, jnp.int32)
+        step = m >> 1
+        while step:  # static unroll: branchless lexicographic lower-bound
+            cand = pos + step
+            chi, clo = thi[cand], tlo[cand]
+            le = (chi < hi) | ((chi == hi) & (clo <= lo))
+            pos = jnp.where(le, cand, pos)
+            step >>= 1
+        hit = (thi[pos] == hi) & (tlo[pos] == lo)
+        g = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 0)
+        s = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ng_pad, SLOTS, LANES), 2)
+        valid = (g * GROUP + s * LANES + lane) < n
+        if vw is not None:
+            bit = (vw[:, None, :] >> s.astype(jnp.uint32)) & jnp.uint32(1)
+            valid = valid & (bit == jnp.uint32(1))
+        hits = (hit & valid).astype(jnp.uint32)
+        return jnp.sum(hits << s.astype(jnp.uint32), axis=1, dtype=jnp.uint32)
+
+    fn = _SCAN_CACHE[key] = jax.jit(fold)
+    return fn
+
+
+def isin_bitmap_sharded(col: EncodedColumn, values, mesh=None, axis="d"):
+    """Sharded twin of query.isin_bitmap: ONE staged-set search scan over
+    the mesh (no eq-OR small-set special case — a single compiled kernel
+    per (column, set-size-bucket) is the right trade at fleet scale).
+    Floats match in bitpattern space; wide columns search both planes."""
+    mesh = mesh or default_mesh(axis)
+    ng = num_groups(col.n)
+    from .query import _staged_set_u32, _staged_set_u64
+
+    if col.scheme == "wide":
+        from . import wide
+
+        staged = _staged_set_u64(col.dtype, values)
+        if staged is None:
+            return jnp.zeros((ng, LANES), jnp.uint32)
+        slo, shi = staged
+        fn = _isin_wide_fn(col, mesh, axis, slo.size)
+        lo_col, hi_col = wide._sub(col, "lo"), wide._sub(col, "hi")
+        words = fn(jnp.asarray(slo), jnp.asarray(shi),
+                   _valid_arg(col, mesh, axis),
+                   *_args(lo_col, mesh, axis), *_args(hi_col, mesh, axis))
+        return words[:ng]
+    if np_dtype(col.dtype).kind == "f":
+        fv = np.asarray(np.asarray(values, dtype=object).reshape(-1), np.float32)
+        vals = [int(x) for x in np.unique(fv.view(np.uint32))]
+    else:
+        vals = [int(v) for v in np.asarray(values).reshape(-1)]
+    staged = _staged_set_u32(col.dtype, vals) if vals else None
+    if staged is None:
+        return jnp.zeros((ng, LANES), jnp.uint32)
+    fn = _isin_scan_fn(col, mesh, axis, staged.size)
+    words = fn(jnp.asarray(staged), _valid_arg(col, mesh, axis),
+               *_args(col, mesh, axis))
+    return words[:ng]
+
+
+def isin_count_sharded(col: EncodedColumn, values, mesh=None, axis="d") -> int:
+    """Distributed membership count (one scalar reduce, like
+    count_where_sharded)."""
+    from .query import popcount_words
+
+    words = isin_bitmap_sharded(col, values, mesh, axis)
+    fn = _COUNT_CACHE.get("popcount")
+    if fn is None:
+        fn = _COUNT_CACHE["popcount"] = jax.jit(
+            lambda x: jnp.sum(popcount_words(x), dtype=jnp.uint32)
+        )
+    return int(fn(words))
+
+
+def semi_join_bitmap_sharded(probe: EncodedColumn, build: EncodedColumn,
+                             mesh=None, axis="d"):
+    """Sharded semi-join bitmap: probe rows whose value appears in the
+    build column (Table.semi_join's mesh twin). The build side's distinct
+    set is computed host-side (its dictionary when it has one); the probe
+    scan is the sharded membership search. strdict probes rewrite to a
+    code-set scan on their inner code column (validity propagates)."""
+    from .table import _distinct_values
+
+    mesh = mesh or default_mesh(axis)
+    vals = _distinct_values(build)
+    if probe.scheme == "strdict":
+        from .strings import codes_column, dictionary
+
+        want = {v if isinstance(v, bytes) else bytes(v) for v in vals}
+        d = dictionary(probe)
+        codes = [i for i, b in enumerate(d) if bytes(b) in want]
+        return isin_bitmap_sharded(codes_column(probe), codes, mesh, axis)
+    return isin_bitmap_sharded(probe, vals, mesh, axis)
+
+
 def sum_sharded(col: EncodedColumn, mesh=None, axis="d") -> int | float:
     """Distributed exact column sum (semantics of aggregate.sum_, incl.
     null-skipping for nullable columns)."""

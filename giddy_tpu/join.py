@@ -1,0 +1,189 @@
+"""Inner equi-join over encoded columns — the step past `Table.semi_join`.
+
+libgiddy stops at kernels; its DBMS caller (MonetDB) owned joins
+(SURVEY.md §1). The framework's scan pipeline already covers WHERE /
+aggregate / GROUP BY / ORDER BY / semi-join, so the natural completion is
+a materializing equi-join that stays decode-minimal the same way the rest
+of the pipeline does:
+
+1. **Device prune (the scan part)**: membership bitmaps both ways —
+   left rows whose key appears among the right's distinct keys, and
+   right rows whose key appears among the *surviving* left keys. These
+   ride the existing fused isin machinery (dictionary-domain rewrites for
+   dict/strdict keys, device binary search for large sets), so the
+   typical selective join never decodes non-matching groups at all.
+2. **Host pair-match (the output part)**: sort–merge on the surviving
+   keys only. Join output is host-materialized anyway (like `select`),
+   so the pair expansion is O(|survivors| log |survivors| + |result|)
+   NumPy — bounded by data we must touch regardless.
+
+Null keys never match (SQL equality semantics); `anti_join_bitmap` keeps
+the non-null rows *without* a partner (NOT EXISTS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .format import EncodedColumn
+from .util import LANES, num_groups
+
+
+def _match_bitmap(col: EncodedColumn, values) -> "np.ndarray":
+    """Null-aware membership bitmap of ``col`` in ``values`` (device scan;
+    dictionary-backed columns rewrite over their dictionary)."""
+    if col.scheme == "strdict":
+        from .strings import isin_bitmap_str
+
+        return np.asarray(isin_bitmap_str(col, list(values)))
+    from .util import np_dtype as _npd
+
+    if col.scheme in ("dict", "cascade") and _npd(col.dtype).kind != "f":
+        from .groupby import key_values
+        from .query import dict_mask_bitmap
+
+        kv = key_values(col)
+        want = set(int(v) for v in values)
+        mask = np.fromiter((int(v) in want for v in kv), bool, count=kv.shape[0])
+        return np.asarray(dict_mask_bitmap(col, mask))
+    from .query import isin_bitmap
+
+    return np.asarray(isin_bitmap(col, list(values)))
+
+
+def _bitmap_indices(words: np.ndarray, n: int) -> np.ndarray:
+    from .ref.lmp import lmp_unpack
+
+    words = np.asarray(words).reshape(num_groups(n), LANES)
+    return np.flatnonzero(lmp_unpack(words, 1, n).astype(bool))
+
+
+def _take_keys(col: EncodedColumn, idx: np.ndarray) -> np.ndarray:
+    """Key values at ``idx`` in a sort/searchsorted-friendly dtype
+    (strings come back as fixed-width bytes)."""
+    from .table import Table
+
+    t = Table([col])
+    k = t.take(col.name, idx)
+    if k.dtype == object:  # bytes objects from a string dictionary
+        k = np.asarray(k, dtype=np.bytes_)
+    return k
+
+
+def _common_key_dtype(a: np.ndarray, b: np.ndarray):
+    if a.dtype.kind == "S" or b.dtype.kind == "S":
+        if a.dtype.kind != b.dtype.kind:
+            raise TypeError(
+                f"cannot join string keys with numeric keys ({a.dtype} vs {b.dtype})"
+            )
+        return None  # bytes compare fine at mixed widths
+    ct = np.promote_types(a.dtype, b.dtype)
+    if ct.kind == "f" and a.dtype.kind != "f" and b.dtype.kind != "f":
+        raise TypeError(
+            f"no exact common integer type for join keys {a.dtype} vs {b.dtype}"
+        )
+    return ct
+
+
+def join_indices(left: EncodedColumn, right: EncodedColumn):
+    """Row-index pairs (li, ri) of the inner equi-join ``left == right``.
+
+    Output is left-major: pairs are ordered by ``li``, and for one left
+    row its right partners appear in original right order. Null keys on
+    either side never match.
+    """
+    from .table import _distinct_values
+
+    right_set = _distinct_values(right)
+    if not right_set:
+        e = np.empty(0, np.int64)
+        return e, e
+    li = _bitmap_indices(_match_bitmap(left, right_set), left.n)
+    if li.size == 0:
+        return li, np.empty(0, np.int64)
+    lk = _take_keys(left, li)
+    # prune the right side with the keys that actually survived the left scan
+    if lk.dtype.kind == "f":
+        # distinct + probe in bitpattern space (matches the device scan)
+        w = np.unique(lk.view(np.uint32 if lk.dtype.itemsize == 4 else np.uint64))
+        probe_vals = [float(x) for x in w.view(lk.dtype)]
+    elif lk.dtype.kind == "S":
+        probe_vals = [bytes(v) for v in np.unique(lk)]
+    else:
+        probe_vals = [int(v) for v in np.unique(lk)]
+    ri = _bitmap_indices(_match_bitmap(right, probe_vals), right.n)
+    if ri.size == 0:
+        return np.empty(0, np.int64), ri
+    rk = _take_keys(right, ri)
+    ct = _common_key_dtype(lk, rk)
+    if ct is not None:
+        lk = lk.astype(ct)
+        rk = rk.astype(ct)
+    if lk.dtype.kind == "f":
+        # pair-match on bitpatterns so host equality == device equality
+        u = np.uint32 if lk.dtype.itemsize == 4 else np.uint64
+        lk, rk = lk.view(u), rk.view(u)
+    order = np.argsort(rk, kind="stable")
+    rk_sorted = rk[order]
+    lo = np.searchsorted(rk_sorted, lk, side="left")
+    hi = np.searchsorted(rk_sorted, lk, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    starts = np.repeat(lo, counts)
+    base = np.cumsum(counts) - counts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(base, counts)
+    out_li = np.repeat(li, counts)
+    out_ri = ri[order[starts + offs]]
+    return out_li, out_ri
+
+
+def anti_join_bitmap(probe: EncodedColumn, build: EncodedColumn):
+    """LMP(1) bitmap of probe rows with a non-null key that has NO match
+    in ``build`` (NOT EXISTS). The complement of the semi-join restricted
+    to valid rows."""
+    from . import nulls
+    from .query import bitmap_not
+    from .table import _distinct_values
+
+    build_set = _distinct_values(build)
+    if not build_set:
+        if nulls.is_nullable(probe):
+            return np.asarray(nulls.valid_words_device(probe))
+        # every row matches "no partner"
+        return np.asarray(
+            bitmap_not(np.zeros((num_groups(probe.n), LANES), np.uint32), probe.n)
+        )
+    sem = _match_bitmap(probe, build_set)
+    bm = np.asarray(bitmap_not(sem, probe.n))
+    if nulls.is_nullable(probe):
+        bm = bm & np.asarray(nulls.valid_words_device(probe))
+    return bm
+
+
+def join_tables(left, on: str, right, right_on: str | None = None,
+                select=None, right_select=None, suffix: str = "_r"):
+    """Materialized inner equi-join of two Tables.
+
+    Returns ``(rows, li, ri)``: a dict of joined output columns (left
+    ``select`` names as-is; right ``right_select`` names, suffixed on
+    collision) and the underlying row-index pairs. ``select`` defaults to
+    all left columns, ``right_select`` to all right columns except the
+    key (which would duplicate the left key).
+    """
+    right_on = on if right_on is None else right_on
+    li, ri = join_indices(left[on], right[right_on])
+    select = left.names if select is None else list(select)
+    if right_select is None:
+        right_select = [nm for nm in right.names if nm != right_on]
+    rows: dict[str, np.ndarray] = {}
+    for nm in select:
+        rows[nm] = left.take(nm, li)
+    for nm in right_select:
+        out = nm if nm not in rows else nm + suffix
+        if out in rows:
+            raise ValueError(f"column name collision after suffix: {out!r}")
+        rows[out] = right.take(nm, ri)
+    return rows, li, ri

@@ -405,8 +405,26 @@ def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
     """Bitmap of membership in a value set. Small sets OR eq scans (one
     compiled kernel total — the compare value is a runtime argument);
     larger sets run ONE device pass: vectorized binary search of each
-    decoded payload in the sorted staged set (floats match in bitpattern
-    space there, like the dictionary build)."""
+    decoded payload in the sorted staged set. Wide (64-bit) columns search
+    both planes lexicographically (`_isin_searched_wide`). Floats match in
+    bitpattern space (exact for everything except that -0.0 does not match
+    +0.0, and NaNs match equal-payload NaNs — the same convention as the
+    dictionary build)."""
+    dk = np_dtype(col.dtype).kind
+    if col.scheme == "wide":
+        return _isin_searched_wide(col, values)
+    if dk == "f":
+        fv = np.asarray(np.asarray(values, dtype=object).reshape(-1), np.float32)
+        u, ix = np.unique(fv.view(np.uint32), return_index=True)
+        if u.size == 0:
+            return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+        if u.size > 8:
+            return _isin_searched(col, [int(x) for x in u])
+        acc = None
+        for i in np.sort(ix):
+            bm = filter_bitmap(col, "eq", float(fv[i]))
+            acc = bm if acc is None else acc | bm
+        return acc
     vals = list(dict.fromkeys(int(v) for v in np.asarray(values).reshape(-1)))
     if not vals:
         return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
@@ -418,6 +436,55 @@ def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
     return acc
 
 
+def _staged_set_u32(dtype: str, vals) -> np.ndarray | None:
+    """Host-stage an integer value set for a 32-bit payload search: values
+    masked to the payload width (narrow ints are stored zero-extended, so
+    an int8 -5 is payload 0xFB; narrow dtypes first drop unrepresentable
+    values — the eq-scan path compares sign-extended and would never match
+    them; 32-bit keeps the documented mod-2^32 staging), sorted, deduped,
+    padded to a power of two by repeating the maximum (stays sorted, so
+    set sizes share compilations). None = provably empty match set."""
+    dt = np_dtype(dtype)
+    bits = 8 * dt.itemsize
+    if bits < 32:
+        lo, hi = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if dt.kind == "i" else (0, (1 << bits) - 1)
+        vals = [v for v in vals if lo <= v <= hi]
+        if not vals:
+            return None
+    staged = np.unique(
+        (np.array(vals, dtype=np.int64) & ((1 << bits) - 1)).astype(np.uint32)
+    )
+    m = 1 << (int(staged.size - 1).bit_length())
+    return np.concatenate([staged, np.repeat(staged[-1:], m - staged.size)])
+
+
+def _staged_set_u64(dtype: str, values) -> tuple[np.ndarray, np.ndarray] | None:
+    """64-bit twin of _staged_set_u32: (lo, hi) uint32 plane pairs sorted
+    lexicographically by (hi, lo), deduped, pow2-padded. Floats stage as
+    raw float64 bitpatterns. None = provably empty."""
+    dt = np_dtype(dtype)
+    vals = np.asarray(values, dtype=object).reshape(-1)
+    if dt.kind == "f":
+        u = np.array([float(v) for v in vals], np.float64).view(np.uint64)
+    else:
+        lo_b, hi_b = (0, 2**64) if dt.kind == "u" else (-(2**63), 2**63)
+        kept = [int(v) for v in vals if lo_b <= int(v) < hi_b]
+        u = np.array(kept, dtype=np.int64 if dt.kind == "i" else np.uint64).view(np.uint64)
+    if u.size == 0:
+        return None
+    slo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    shi = (u >> np.uint64(32)).astype(np.uint32)
+    order = np.lexsort((slo, shi))
+    slo, shi = slo[order], shi[order]
+    keep = np.ones(slo.size, bool)
+    keep[1:] = (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])
+    slo, shi = slo[keep], shi[keep]
+    m = 1 << (int(slo.size - 1).bit_length())
+    slo = np.concatenate([slo, np.repeat(slo[-1:], m - slo.size)])
+    shi = np.concatenate([shi, np.repeat(shi[-1:], m - shi.size)])
+    return slo, shi
+
+
 def _isin_searched(col: EncodedColumn, vals):
     """One-jit membership: decode -> searchsorted into the staged set.
     The set is a runtime argument padded to a power of two (repeating its
@@ -425,23 +492,10 @@ def _isin_searched(col: EncodedColumn, vals):
     from . import nulls
     from .api import device_streams, get_decoder
 
-    # payload space: narrow ints are stored zero-extended, so mask staged
-    # values to the payload width (an int8 -5 is payload 0xFB). Narrow
-    # dtypes first drop unrepresentable values — the eq-scan path compares
-    # sign-extended and would never match them (32-bit keeps the
-    # documented mod-2^32 staging).
-    dt = np_dtype(col.dtype)
-    bits = 8 * dt.itemsize
-    if bits < 32:
-        lo, hi = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if dt.kind == "i" else (0, (1 << bits) - 1)
-        vals = [v for v in vals if lo <= v <= hi]
-        if not vals:
-            return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
-    staged = np.unique(
-        (np.array(vals, dtype=np.int64) & ((1 << bits) - 1)).astype(np.uint32)
-    )
-    m = 1 << (int(staged.size - 1).bit_length())
-    staged = np.concatenate([staged, np.repeat(staged[-1:], m - staged.size)])
+    staged = _staged_set_u32(col.dtype, vals)
+    if staged is None:
+        return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    m = staged.size
     key = (col.static_key(), "isin", m)
     fn = _FILTER_CACHE.get(key)
     if fn is None:
@@ -457,6 +511,55 @@ def _isin_searched(col: EncodedColumn, vals):
 
         fn = _FILTER_CACHE[key] = jax.jit(search)
     bm = fn(device_streams(col), jnp.asarray(staged))
+    if nulls.is_nullable(col):
+        bm = bm & nulls.valid_words_device(col)
+    return bm
+
+
+def _isin_searched_wide(col: EncodedColumn, values):
+    """Membership for 64-bit (wide) columns: both 32-bit planes decode on
+    device and each (hi, lo) pair binary-searches the staged set, sorted
+    lexicographically — log2(m) branchless select steps, no int64 device
+    arrays (the same plane-split discipline as _wide_filter_fn). Floats
+    (float64) match in bitpattern space."""
+    from . import nulls, wide
+    from .api import device_streams, get_decoder
+
+    staged = _staged_set_u64(col.dtype, values)
+    if staged is None:
+        return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
+    slo, shi = staged
+    m = slo.size
+    key = (col.static_key(), "isin_wide", m)
+    fn = _FILTER_CACHE.get(key)
+    if fn is None:
+        ng = num_groups(col.n)
+        lo_col, hi_col = wide._sub(col, "lo"), wide._sub(col, "hi")
+        dec_lo, dec_hi = get_decoder(lo_col), get_decoder(hi_col)
+
+        def search(s_lo, s_hi, tlo, thi):
+            lo = dec_lo(s_lo).reshape(-1)
+            hi = dec_hi(s_hi).reshape(-1)
+            pos = jnp.zeros(lo.shape, jnp.int32)
+            step = m >> 1
+            while step:  # static unroll: branchless lower-bound
+                cand = pos + step
+                chi, clo = thi[cand], tlo[cand]
+                le = (chi < hi) | ((chi == hi) & (clo <= lo))
+                pos = jnp.where(le, cand, pos)
+                step >>= 1
+            hit = (thi[pos] == hi) & (tlo[pos] == lo)
+            hits = hit.reshape(ng, SLOTS, LANES).astype(jnp.uint32)
+            i = jax.lax.broadcasted_iota(jnp.uint32, (1, SLOTS, 1), 1)
+            return jnp.sum(hits << i, axis=1, dtype=jnp.uint32)
+
+        fn = _FILTER_CACHE[key] = jax.jit(search)
+    bm = fn(
+        device_streams(wide._sub(col, "lo")),
+        device_streams(wide._sub(col, "hi")),
+        jnp.asarray(slo),
+        jnp.asarray(shi),
+    )
     if nulls.is_nullable(col):
         bm = bm & nulls.valid_words_device(col)
     return bm

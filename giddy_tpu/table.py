@@ -32,7 +32,10 @@ def _distinct_values(col: EncodedColumn):
         if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
             return []
         return list(d)
-    if col.scheme in ("dict", "cascade") and col.params.get("dense"):
+    from .util import np_dtype
+
+    is_float = np_dtype(col.dtype).kind == "f"
+    if col.scheme in ("dict", "cascade") and col.params.get("dense") and not is_float:
         if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
             return []
         from .groupby import key_values
@@ -43,6 +46,10 @@ def _distinct_values(col: EncodedColumn):
     v = np.asarray(decode(col))
     if nulls.is_nullable(col):
         v = v[nulls.valid_mask(col)]
+    if is_float:
+        # distinct in bitpattern space (matches the device membership scan)
+        w = np.unique(v.view(np.uint32 if v.dtype.itemsize == 4 else np.uint64))
+        return [float(x) for x in w.view(v.dtype)]
     return [int(x) for x in np.unique(v)]
 
 
@@ -161,7 +168,9 @@ class Table:
             from .strings import isin_bitmap_str
 
             return isin_bitmap_str(col, list(build_set))
-        if col.scheme in ("dict", "cascade"):
+        from .util import np_dtype
+
+        if col.scheme in ("dict", "cascade") and np_dtype(col.dtype).kind != "f":
             from .groupby import key_values
             from .query import dict_mask_bitmap
 
@@ -172,6 +181,25 @@ class Table:
         from .query import isin_bitmap
 
         return isin_bitmap(col, list(build_set))
+
+    def join(self, on: str, other: "Table", other_on: str | None = None,
+             select=None, other_select=None, suffix: str = "_r"):
+        """Materialized inner equi-join (see join.join_tables): returns
+        ``(rows, li, ri)`` — the joined output columns plus the matched
+        row-index pairs. Device membership scans prune both sides before
+        any materialization; null keys never match."""
+        from .join import join_tables
+
+        return join_tables(self, on, other, other_on, select, other_select, suffix)
+
+    def anti_join(self, name: str, other, other_name: str | None = None):
+        """Bitmap of rows whose non-null ``name`` value has NO match in the
+        other column (NOT EXISTS ... WHERE equal) — the complement of
+        semi_join over valid rows."""
+        from .join import anti_join_bitmap
+
+        build = other[other_name or name] if isinstance(other, Table) else other
+        return anti_join_bitmap(self[name], build)
 
     # --- materialization ------------------------------------------------------
 

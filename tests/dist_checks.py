@@ -232,6 +232,44 @@ def main() -> None:
     assert count_where_str_sharded(scol, "ge", b"cat") == int((sva >= b"cat").sum())
     assert count_where_str_sharded(scol, "eq", b"bee") == int((sva == b"bee").sum())
     print("[dist] strings: ok", flush=True)
+    # sharded membership scans (isin / semi-join): staged-set search per
+    # shard, collective-free like every other fold
+    from giddy_tpu.dist_query import (
+        _isin_scan_fn, isin_bitmap_sharded, isin_count_sharded, semi_join_bitmap_sharded,
+    )
+    from giddy_tpu.query import _staged_set_u32, count_bits
+
+    vi = gen_column("nbit", 16 * GROUP + 421, rng)
+    icol = gt.encode(vi, "nbit")
+    want_set = [int(x) for x in np.unique(vi)[::7]]
+    assert isin_count_sharded(icol, want_set) == int(np.isin(vi, want_set).sum())
+    # wide keys (lexicographic plane search)
+    v64s = gen_column("wide", 16 * GROUP + 3, rng)
+    wcols = gt.encode(v64s, "wide")
+    w_set = [int(x) for x in np.unique(v64s)[:40]]
+    assert isin_count_sharded(wcols, w_set) == int(np.isin(v64s, w_set).sum())
+    # float32 (bitpattern space)
+    f_set = [float(x) for x in fv[:25]]
+    assert isin_count_sharded(fcol, f_set) == int(np.isin(fv, f_set).sum())
+    # nullable probe: null rows never members
+    n_set = [int(x) for x in np.unique(vn)[:30]]
+    assert isin_count_sharded(ncol, n_set) == int((vm & np.isin(vn, n_set)).sum())
+    # semi-join twin vs the single-chip Table path; strdict probe rewrite
+    bcol = gt.encode(np.unique(vi)[::5].astype(np.int32), "raw")
+    bm = np.asarray(semi_join_bitmap_sharded(icol, bcol))
+    assert count_bits(bm, icol.n) == int(np.isin(vi, np.unique(vi)[::5]).sum())
+    sbuild = encode_strings([b"bee", b"dog", b"owl"], codes_scheme="raw")
+    bms = np.asarray(semi_join_bitmap_sharded(scol, sbuild))
+    assert count_bits(bms, scol.n) == int(np.isin(sva, [b"bee", b"dog"]).sum())
+    # the membership fold is collective-free
+    staged = _staged_set_u32(icol.dtype, want_set)
+    fni = _isin_scan_fn(icol, default_mesh(), "d", staged.size)
+    hlo = fni.lower(
+        jnp.asarray(staged), None, *_args(icol, default_mesh(), "d")
+    ).compile().as_text().lower()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, ("isin", coll)
+    print("[dist] isin-semi-join: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).

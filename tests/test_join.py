@@ -1,0 +1,169 @@
+"""Inner equi-join / anti-join (join.py) + the membership-scan paths they
+lean on (wide/float isin regressions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import giddy_tpu as gt
+from giddy_tpu import strings
+from giddy_tpu.join import anti_join_bitmap, join_indices
+from giddy_tpu.table import Table
+from giddy_tpu.util import GROUP
+
+from helpers import gen_column
+
+
+def ref_pairs(lv, rv, lvalid=None, rvalid=None):
+    """Left-major reference pairs; right partners in original order."""
+    idx: dict = {}
+    for j, v in enumerate(rv):
+        if rvalid is None or rvalid[j]:
+            idx.setdefault(v, []).append(j)
+    out = []
+    for i, v in enumerate(lv):
+        if lvalid is None or lvalid[i]:
+            for j in idx.get(v, []):
+                out.append((i, j))
+    return out
+
+
+def check(left_col, right_col, lv, rv, lvalid=None, rvalid=None):
+    li, ri = join_indices(left_col, right_col)
+    got = list(zip(li.tolist(), ri.tolist()))
+    assert got == ref_pairs(list(lv), list(rv), lvalid, rvalid)
+
+
+def test_join_int_duplicates():
+    rng = np.random.default_rng(0)
+    nl, nr = GROUP + 37, GROUP // 2 + 11
+    lv = rng.integers(0, 200, nl, dtype=np.int64).astype(np.int32)
+    rv = rng.integers(100, 300, nr, dtype=np.int64).astype(np.int32)
+    check(gt.encode(lv, "nbit", name="l"), gt.encode(rv, "nbit", name="r"), lv, rv)
+
+
+def test_join_dict_and_rle_keys():
+    rng = np.random.default_rng(1)
+    nl, nr = GROUP + 5, GROUP + 61
+    vocab = (np.arange(40, dtype=np.int32) * 13) - 60
+    lv = vocab[rng.integers(0, 40, nl)]
+    rv = np.repeat(vocab[rng.integers(20, 40, nr // 50 + 1)], 50)[:nr]
+    check(gt.encode(lv, "dict", name="l"), gt.encode(rv, "rle", name="r"), lv, rv)
+
+
+def test_join_string_keys():
+    rng = np.random.default_rng(2)
+    nl, nr = GROUP + 3, GROUP // 4 + 9
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"eps"]
+    lv = [words[i] for i in rng.integers(0, 5, nl)]
+    rv = [words[i] for i in rng.integers(2, 5, nr)]
+    lc = strings.encode_strings(lv, name="l")
+    rc = strings.encode_strings(rv, name="r")
+    check(lc, rc, lv, rv)
+
+
+def test_join_wide_int64_keys():
+    # >8 distinct survivors forces the lexicographic plane search
+    rng = np.random.default_rng(3)
+    nl, nr = GROUP + 21, GROUP + 7
+    pool = rng.integers(-(2**40), 2**40, 60).astype(np.int64)
+    lv = pool[rng.integers(0, 60, nl)]
+    rv = pool[rng.integers(30, 60, nr)]
+    check(gt.encode(lv, "wide", name="l"), gt.encode(rv, "wide", name="r"), lv, rv)
+
+
+def test_join_float_keys():
+    rng = np.random.default_rng(4)
+    nl, nr = GROUP + 13, GROUP + 29
+    pool = (rng.standard_normal(25) * 100).astype(np.float32)
+    lv = pool[rng.integers(0, 25, nl)]
+    rv = pool[rng.integers(10, 25, nr)]
+    check(gt.encode(lv, "raw", name="l"), gt.encode(rv, "raw", name="r"), lv, rv)
+
+
+def test_join_nullable_keys_never_match():
+    rng = np.random.default_rng(5)
+    nl, nr = GROUP + 9, GROUP + 17
+    lv = rng.integers(0, 50, nl, dtype=np.int64).astype(np.int32)
+    rv = rng.integers(0, 50, nr, dtype=np.int64).astype(np.int32)
+    lm = rng.random(nl) >= 0.2
+    rm = rng.random(nr) >= 0.2
+    lc = gt.encode(lv, "nbit", name="l", valid=lm)
+    rc = gt.encode(rv, "nbit", name="r", valid=rm)
+    check(lc, rc, lv, rv, lm, rm)
+
+
+def test_join_empty_intersection():
+    lv = np.arange(100, dtype=np.int32)
+    rv = np.arange(1000, 1100, dtype=np.int32)
+    li, ri = join_indices(gt.encode(lv, "raw", name="l"), gt.encode(rv, "raw", name="r"))
+    assert li.size == 0 and ri.size == 0
+
+
+def test_join_tables_select_and_suffix():
+    rng = np.random.default_rng(6)
+    nl, nr = GROUP + 3, GROUP // 2 + 5
+    lk = rng.integers(0, 64, nl, dtype=np.int64).astype(np.int32)
+    lx = rng.integers(0, 1000, nl, dtype=np.int64).astype(np.int32)
+    rk = rng.integers(32, 96, nr, dtype=np.int64).astype(np.int32)
+    rx = rng.integers(0, 1000, nr, dtype=np.int64).astype(np.int32)
+    tl = Table([gt.encode(lk, "nbit", name="k"), gt.encode(lx, "nbit", name="x")])
+    tr = Table([gt.encode(rk, "nbit", name="k"), gt.encode(rx, "nbit", name="x")])
+    rows, li, ri = tl.join("k", tr)
+    pairs = ref_pairs(list(lk), list(rk))
+    assert list(zip(li.tolist(), ri.tolist())) == pairs
+    np.testing.assert_array_equal(rows["k"], lk[li])
+    np.testing.assert_array_equal(rows["x"], lx[li])
+    np.testing.assert_array_equal(rows["x_r"], rx[ri])
+    # explicit selection, no collision
+    rows2, _, _ = tl.join("k", tr, select=["k"], other_select=["x"])
+    assert set(rows2) == {"k", "x"}
+    np.testing.assert_array_equal(rows2["x"], rx[ri])
+
+
+def test_anti_join():
+    from giddy_tpu.query import count_bits
+
+    rng = np.random.default_rng(7)
+    n = GROUP + 45
+    lv = rng.integers(0, 100, n, dtype=np.int64).astype(np.int32)
+    rv = rng.integers(50, 150, GROUP // 8, dtype=np.int64).astype(np.int32)
+    lm = rng.random(n) >= 0.15
+    lc = gt.encode(lv, "nbit", name="l", valid=lm)
+    rc = gt.encode(rv, "nbit", name="r")
+    bm = anti_join_bitmap(lc, rc)
+    want = int((lm & ~np.isin(lv, rv)).sum())
+    assert count_bits(bm, n) == want
+    # empty build side: every valid probe row survives
+    empty = gt.encode(np.zeros(16, np.int32), "raw", name="e",
+                      valid=np.zeros(16, bool))
+    bm = anti_join_bitmap(lc, empty)
+    assert count_bits(bm, n) == int(lm.sum())
+
+
+def test_isin_wide_and_float_regressions():
+    from giddy_tpu.query import count_bits, isin_bitmap
+
+    rng = np.random.default_rng(8)
+    n = GROUP + 3
+    v64 = rng.integers(-(2**40), 2**40, n).astype(np.int64)
+    col = gt.encode(v64, "wide", name="w")
+    vals = [int(x) for x in v64[:20]] + [2**62, -(2**62)]  # incl. non-matches
+    assert count_bits(isin_bitmap(col, vals), n) == int(np.isin(v64, vals).sum())
+    # small wide set still goes through the searched path
+    vals = [int(v64[0]), int(v64[1])]
+    assert count_bits(isin_bitmap(col, vals), n) == int(np.isin(v64, vals).sum())
+
+    vf = rng.standard_normal(n).astype(np.float32)
+    colf = gt.encode(vf, "raw", name="f")
+    small = [float(vf[0]), float(vf[5]), 1e30]
+    assert count_bits(isin_bitmap(colf, small), n) == int(np.isin(vf, small).sum())
+    big = [float(x) for x in vf[:40]]
+    assert count_bits(isin_bitmap(colf, big), n) == int(np.isin(vf, big).sum())
+    assert count_bits(isin_bitmap(colf, []), n) == 0
+
+    vu = rng.integers(0, 2**64, n, dtype=np.uint64)
+    colu = gt.encode(vu, "wide", name="u")
+    vals = [int(x) for x in vu[:12]]
+    assert count_bits(isin_bitmap(colu, vals), n) == int(np.isin(vu, vals).sum())
