@@ -51,3 +51,48 @@ def test_device_delta_streams_match_host():
     np.testing.assert_array_equal(
         np.asarray(anchors).view(np.int32), host_col.streams["anchors"]
     )
+
+
+def test_device_rle_streams_match_host():
+    from giddy_tpu.ref import rle as ref_rle
+
+    rng = np.random.default_rng(4)
+    for n in (2 * GROUP, 3 * GROUP + 421, 177, 1):
+        v = np.repeat(
+            rng.integers(-50, 50, n // 40 + 1).astype(np.int32), 40
+        )[:n]
+        host_col = ref_rle.encode(v)
+        dev_col = kenc.encode_rle_device(v)
+        assert dev_col.params["r_pad"] == host_col.params["r_pad"], n
+        for s in ("run_values", "run_ends", "run_counts"):
+            np.testing.assert_array_equal(
+                dev_col.streams[s], host_col.streams[s], err_msg=f"{s} n={n}"
+            )
+        np.testing.assert_array_equal(np.asarray(gt.decode(dev_col)), v)
+
+
+def test_device_rle_adversarial_runs():
+    from giddy_tpu.ref import rle as ref_rle
+
+    # all-distinct (runs of length 1) and all-equal (one run per group)
+    n = GROUP + 17
+    for v in (np.arange(n, dtype=np.int32), np.full(n, -7, np.int32)):
+        host_col = ref_rle.encode(v)
+        dev_col = kenc.encode_rle_device(v)
+        for s in ("run_values", "run_ends", "run_counts"):
+            np.testing.assert_array_equal(dev_col.streams[s], host_col.streams[s])
+
+
+def test_device_dict_matches_host():
+    from giddy_tpu.ref import dict_ as ref_dict
+
+    rng = np.random.default_rng(5)
+    n = 2 * GROUP + 33
+    vocab = (np.arange(37, dtype=np.int32) * 11) - 70
+    v = vocab[rng.integers(0, 37, n)]
+    host_col = ref_dict.encode(v)
+    dev_col = kenc.encode_dict_device(v)
+    assert dev_col.params == host_col.params
+    np.testing.assert_array_equal(dev_col.streams["codes"], host_col.streams["codes"])
+    np.testing.assert_array_equal(dev_col.streams["values"], host_col.streams["values"])
+    np.testing.assert_array_equal(np.asarray(gt.decode(dev_col)), v)
