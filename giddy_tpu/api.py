@@ -26,10 +26,23 @@ def encode(values: np.ndarray, scheme: str, *, valid=None, **opts) -> EncodedCol
     """Host-side encode (NumPy oracle codec; encode is out of the hot path
     by design — SURVEY.md §1 'decode-only').
 
+    ``scheme="auto"`` routes through the advisor (trial encodes on a
+    sample, best ratio wins — advisor.encode_best).
+
     ``valid``: optional bool[n] mask (True = non-null) making the column
     nullable — null slots are canonically filled (previous valid value)
     before encoding and a ``valid`` LMP(1) stream is attached; see
     nulls.py for the scan/aggregate semantics this buys."""
+    if scheme == "auto":
+        from .advisor import encode_best
+
+        if valid is not None:
+            from . import nulls
+
+            mask = np.asarray(valid, bool)
+            filled = nulls.fill_nulls(np.asarray(values), mask)
+            return nulls.attach_valid(encode_best(filled, **opts), mask)
+        return encode_best(np.asarray(values), **opts)
     if valid is not None:
         from . import nulls
 

@@ -29,9 +29,21 @@ from .format import EncodedColumn
 from .util import LANES, num_groups
 
 
-def _match_bitmap(col: EncodedColumn, values) -> "np.ndarray":
+def _match_bitmap(col: EncodedColumn, values, mesh=None) -> "np.ndarray":
     """Null-aware membership bitmap of ``col`` in ``values`` (device scan;
-    dictionary-backed columns rewrite over their dictionary)."""
+    dictionary-backed columns rewrite over their dictionary). With a mesh,
+    the scan runs sharded (dist_query) — the prune is the O(n) part of a
+    join, so it scales with the decode path."""
+    if mesh is not None:
+        from .dist_query import isin_bitmap_sharded
+
+        if col.scheme == "strdict":
+            from .strings import codes_column, dictionary
+
+            want = {v if isinstance(v, bytes) else bytes(v) for v in values}
+            codes = [i for i, b in enumerate(dictionary(col)) if bytes(b) in want]
+            return np.asarray(isin_bitmap_sharded(codes_column(col), codes, mesh))
+        return np.asarray(isin_bitmap_sharded(col, values, mesh))
     if col.scheme == "strdict":
         from .strings import isin_bitmap_str
 
@@ -85,12 +97,13 @@ def _common_key_dtype(a: np.ndarray, b: np.ndarray):
     return ct
 
 
-def join_indices(left: EncodedColumn, right: EncodedColumn):
+def join_indices(left: EncodedColumn, right: EncodedColumn, *, mesh=None):
     """Row-index pairs (li, ri) of the inner equi-join ``left == right``.
 
     Output is left-major: pairs are ordered by ``li``, and for one left
     row its right partners appear in original right order. Null keys on
-    either side never match.
+    either side never match. With ``mesh``, both membership prunes run
+    sharded over the device mesh (collective-free scans).
     """
     from .table import _distinct_values
 
@@ -98,7 +111,7 @@ def join_indices(left: EncodedColumn, right: EncodedColumn):
     if not right_set:
         e = np.empty(0, np.int64)
         return e, e
-    li = _bitmap_indices(_match_bitmap(left, right_set), left.n)
+    li = _bitmap_indices(_match_bitmap(left, right_set, mesh), left.n)
     if li.size == 0:
         return li, np.empty(0, np.int64)
     lk = _take_keys(left, li)
@@ -111,7 +124,7 @@ def join_indices(left: EncodedColumn, right: EncodedColumn):
         probe_vals = [bytes(v) for v in np.unique(lk)]
     else:
         probe_vals = [int(v) for v in np.unique(lk)]
-    ri = _bitmap_indices(_match_bitmap(right, probe_vals), right.n)
+    ri = _bitmap_indices(_match_bitmap(right, probe_vals, mesh), right.n)
     if ri.size == 0:
         return np.empty(0, np.int64), ri
     rk = _take_keys(right, ri)
@@ -164,7 +177,8 @@ def anti_join_bitmap(probe: EncodedColumn, build: EncodedColumn):
 
 
 def join_tables(left, on: str, right, right_on: str | None = None,
-                select=None, right_select=None, suffix: str = "_r"):
+                select=None, right_select=None, suffix: str = "_r", *,
+                mesh=None):
     """Materialized inner equi-join of two Tables.
 
     Returns ``(rows, li, ri)``: a dict of joined output columns (left
@@ -174,7 +188,7 @@ def join_tables(left, on: str, right, right_on: str | None = None,
     key (which would duplicate the left key).
     """
     right_on = on if right_on is None else right_on
-    li, ri = join_indices(left[on], right[right_on])
+    li, ri = join_indices(left[on], right[right_on], mesh=mesh)
     select = left.names if select is None else list(select)
     if right_select is None:
         right_select = [nm for nm in right.names if nm != right_on]

@@ -73,6 +73,75 @@ class Table:
     # --- plumbing ---------------------------------------------------------
 
     @classmethod
+    def from_arrays(cls, arrays, schemes=None) -> "Table":
+        """Build a Table from named host arrays (the ingestion twin of
+        ``select``). Numeric columns route through the advisor
+        (``scheme='auto'``) unless ``schemes[name]`` overrides; 64-bit
+        dtypes go through the ``wide`` plane split; str/bytes sequences
+        become ``strdict`` columns. A value may be an ``(array, valid)``
+        pair to make the column nullable."""
+        from .api import encode
+        from .strings import encode_strings
+
+        schemes = schemes or {}
+        cols = []
+        for name, v in arrays.items():
+            valid = None
+            if isinstance(v, tuple):
+                v, valid = v
+                valid = np.asarray(valid, bool)
+            arr = np.asarray(v)
+            if arr.dtype.kind in ("U", "S", "O"):
+                cols.append(encode_strings(list(v), name=name, valid=valid))
+                continue
+            scheme = schemes.get(name, "auto")
+            if arr.dtype.itemsize == 8 and scheme in ("auto", "wide"):
+                if valid is not None:
+                    from . import nulls
+
+                    filled = nulls.fill_nulls(arr, valid)
+                    from .wide import encode as wide_encode
+
+                    cols.append(nulls.attach_valid(wide_encode(filled, name=name), valid))
+                else:
+                    from .wide import encode as wide_encode
+
+                    cols.append(wide_encode(arr, name=name))
+                continue
+            cols.append(encode(arr, scheme, valid=valid, name=name))
+        return cls(cols)
+
+    @classmethod
+    def from_pandas(cls, df, schemes=None) -> "Table":
+        """Encode a pandas DataFrame (the inverse of ``to_pandas``).
+        Missing values (pd.NA / None / NaN in float columns — the pandas
+        missing-data convention) become null rows."""
+        arrays = {}
+        for name in df.columns:
+            ser = df[name]
+            na = ser.isna().to_numpy()
+            has_na = bool(na.any())
+            if ser.dtype == object or str(ser.dtype) in ("string", "str"):
+                vals = ["" if m else x for x, m in zip(ser.tolist(), na)]
+                arrays[name] = (np.array(vals, dtype=object), ~na) if has_na else np.array(vals, dtype=object)
+                continue
+            np_dt = getattr(ser.dtype, "numpy_dtype", None)  # masked ext. dtypes
+            if np_dt is not None:
+                v = ser.to_numpy(dtype=np_dt, na_value=0)
+            else:
+                v = ser.to_numpy()
+            if v.dtype == object:
+                v = np.where(na, 0, v).astype(np.int64)
+            if v.dtype.kind == "b":
+                v = v.astype(np.int8)
+            if has_na and v.dtype.kind == "f":
+                # NaN slots: give the filler a defined payload before the
+                # canonical null fill
+                v = np.where(na, np.zeros((), v.dtype), v)
+            arrays[name] = (v, ~na) if has_na else v
+        return cls.from_arrays(arrays, schemes)
+
+    @classmethod
     def read(cls, data) -> "Table":
         """From container bytes / a file object (format.read_container)."""
         from .format import read_container
@@ -183,14 +252,16 @@ class Table:
         return isin_bitmap(col, list(build_set))
 
     def join(self, on: str, other: "Table", other_on: str | None = None,
-             select=None, other_select=None, suffix: str = "_r"):
+             select=None, other_select=None, suffix: str = "_r", *, mesh=None):
         """Materialized inner equi-join (see join.join_tables): returns
         ``(rows, li, ri)`` — the joined output columns plus the matched
         row-index pairs. Device membership scans prune both sides before
-        any materialization; null keys never match."""
+        any materialization (sharded over ``mesh`` when given); null keys
+        never match."""
         from .join import join_tables
 
-        return join_tables(self, on, other, other_on, select, other_select, suffix)
+        return join_tables(self, on, other, other_on, select, other_select,
+                           suffix, mesh=mesh)
 
     def anti_join(self, name: str, other, other_name: str | None = None):
         """Bitmap of rows whose non-null ``name`` value has NO match in the

@@ -270,6 +270,18 @@ def main() -> None:
     for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all", "reduce-scatter"):
         assert coll not in hlo, ("isin", coll)
     print("[dist] isin-semi-join: ok", flush=True)
+    # sharded join prune: identical pairs to the single-chip path
+    from giddy_tpu.join import join_indices
+
+    perm = rng.permutation(12 * GROUP).astype(np.int32)  # distinct keys
+    jl = gt.encode(perm[: 8 * GROUP], "nbit")
+    jr = gt.encode(perm[4 * GROUP : 8 * GROUP], "nbit")
+    li0, ri0 = join_indices(jl, jr)
+    li1, ri1 = join_indices(jl, jr, mesh=default_mesh())
+    np.testing.assert_array_equal(li0, li1)
+    np.testing.assert_array_equal(ri0, ri1)
+    assert li0.size > 0
+    print("[dist] sharded-join: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).

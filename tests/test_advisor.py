@@ -94,3 +94,21 @@ def test_open_container_mmap(tmp_path):
 
     back = open_container(str(p))[0]
     np.testing.assert_array_equal(gt.decode_ref(back), gt.decode_ref(col))
+
+
+def test_encode_auto_api():
+    import giddy_tpu as gt
+
+    rng = np.random.default_rng(11)
+    n = GROUP + 9
+    v = np.repeat(rng.integers(0, 4, n // 100 + 1).astype(np.int32), 100)[:n]
+    col = gt.encode(v, "auto", name="flags")
+    assert col.scheme in ("rle", "dict", "cascade", "bitmap")
+    np.testing.assert_array_equal(gt.decode_ref(col), v)
+    # nullable composes with auto
+    m = rng.random(n) >= 0.1
+    coln = gt.encode(v, "auto", valid=m, name="flags_n")
+    from giddy_tpu import nulls
+
+    assert nulls.is_nullable(coln)
+    np.testing.assert_array_equal(gt.decode_ref(coln)[m], v[m])

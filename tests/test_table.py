@@ -177,3 +177,52 @@ def test_to_pandas_with_nulls():
     sel = v * 2 < 50
     assert len(df2) == int(sel.sum())
     assert int(df2["x"].isna().sum()) == int((~m & sel).sum())
+
+
+def test_table_from_arrays_and_pandas():
+    rng = np.random.default_rng(21)
+    n = GROUP + 27
+    ids = rng.permutation(n).astype(np.int64) + 3_000_000_000  # 64-bit
+    amount = rng.integers(0, 500, n, dtype=np.int64).astype(np.int32)
+    status = [["ok", "err", "new"][i] for i in rng.integers(0, 3, n)]
+    t = Table.from_arrays({"id": ids, "amount": amount, "status": status})
+    assert t["id"].scheme == "wide"
+    assert t["status"].scheme == "strdict"
+    np.testing.assert_array_equal(t.select(["id"])["id"], ids)
+    np.testing.assert_array_equal(t.select(["amount"])["amount"], amount)
+    assert t.select(["status"])["status"].tolist() == status
+
+    # pandas round trip incl. missing values
+    import pandas as pd
+
+    na = rng.random(n) < 0.1
+    amt = pd.array(amount, dtype="Int32")
+    amt[na] = pd.NA
+    sv = pd.array(status, dtype=object)
+    sv[na] = None
+    df = pd.DataFrame({"amount": amt, "status": sv})
+    t2 = Table.from_pandas(df)
+    from giddy_tpu.nulls import is_nullable, valid_mask
+
+    assert is_nullable(t2["amount"]) and is_nullable(t2["status"])
+    np.testing.assert_array_equal(valid_mask(t2["amount"]), ~na)
+    back = t2.to_pandas()
+    assert back["amount"].isna().to_numpy().tolist() == na.tolist()
+    got = back["amount"].to_numpy()
+    np.testing.assert_array_equal(
+        np.asarray([x for x, m in zip(got, na) if not m], np.int64),
+        amount[~na].astype(np.int64),
+    )
+
+
+def test_table_from_arrays_explicit_scheme_and_valid():
+    rng = np.random.default_rng(22)
+    n = GROUP + 3
+    v = np.repeat(rng.integers(0, 6, n // 50 + 1).astype(np.int32), 50)[:n]
+    m = rng.random(n) >= 0.2
+    t = Table.from_arrays({"st": (v, m)}, schemes={"st": "rle"})
+    assert t["st"].scheme == "rle"
+    from giddy_tpu.nulls import is_nullable
+
+    assert is_nullable(t["st"])
+    assert t.count(("st", "ge", 0)) == int(m.sum())
