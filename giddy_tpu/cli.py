@@ -104,6 +104,46 @@ def cmd_pack(args) -> None:
     print(f"{len(cols)} columns -> {args.out}: {total_dec} -> {total_cmp} bytes")
 
 
+def cmd_import(args) -> None:
+    """CSV/Parquet file -> container (Table.from_pandas: advisor-picked
+    schemes, 64-bit via wide, strings to strdict, NA -> null rows)."""
+    import pandas as pd
+
+    from .table import Table
+
+    if args.file.endswith((".parquet", ".pq")):
+        df = pd.read_parquet(args.file)
+    else:
+        df = pd.read_csv(args.file)
+    schemes = {}
+    for spec in args.scheme or []:
+        try:
+            name, scheme = spec.split("=", 1)
+        except ValueError:
+            raise SystemExit(f"bad --scheme spec {spec!r}; want name=scheme")
+        schemes[name] = scheme
+    t = Table.from_pandas(df, schemes=schemes)
+    t.save(args.out)
+    total_dec = sum(t[nm].nbytes_decoded for nm in t.names)
+    total_cmp = sum(t[nm].nbytes_compressed for nm in t.names)
+    picks = ", ".join(f"{nm}={t[nm].scheme}" for nm in t.names)
+    print(f"{args.file} -> {args.out}: {len(t.names)} columns x {t.n} rows, "
+          f"{total_dec} -> {total_cmp} bytes ({picks})")
+
+
+def cmd_export(args) -> None:
+    """Container -> CSV/Parquet via Table.to_pandas (nulls become NA)."""
+    from .table import Table
+
+    t = Table.open(args.file)
+    df = t.to_pandas()
+    if args.out.endswith((".parquet", ".pq")):
+        df.to_parquet(args.out, index=False)
+    else:
+        df.to_csv(args.out, index=False)
+    print(f"{args.file} -> {args.out}: {len(df.columns)} columns x {len(df)} rows")
+
+
 def cmd_decode(args) -> None:
     from . import decode, decode_ref
 
@@ -274,6 +314,18 @@ def main(argv=None) -> None:
     e.add_argument("--measure", action="store_true",
                    help="with scheme=auto: settle near-ties by measured device decode throughput")
     e.set_defaults(fn=cmd_encode)
+
+    im = sub.add_parser("import", help="CSV/Parquet -> container (advisor-picked schemes)")
+    im.add_argument("file")
+    im.add_argument("--out", required=True)
+    im.add_argument("--scheme", action="append", metavar="NAME=SCHEME",
+                    help="override the advisor for a column (repeatable)")
+    im.set_defaults(fn=cmd_import)
+
+    ex = sub.add_parser("export", help="container -> CSV/Parquet")
+    ex.add_argument("file")
+    ex.add_argument("--out", required=True)
+    ex.set_defaults(fn=cmd_export)
 
     pk = sub.add_parser("pack", help="build a multi-column container from .npy files")
     pk.add_argument("columns", nargs="+", metavar="name=scheme:file.npy")

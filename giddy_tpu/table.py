@@ -112,10 +112,13 @@ class Table:
         return cls(cols)
 
     @classmethod
-    def from_pandas(cls, df, schemes=None) -> "Table":
+    def from_pandas(cls, df, schemes=None, *, downcast: bool = True) -> "Table":
         """Encode a pandas DataFrame (the inverse of ``to_pandas``).
         Missing values (pd.NA / None / NaN in float columns — the pandas
-        missing-data convention) become null rows."""
+        missing-data convention) become null rows. ``downcast`` narrows
+        64-bit integer columns that fit in 32 bits (pandas defaults CSV
+        ints to int64 with no intent behind it; the narrow dtype unlocks
+        the native 32-bit schemes and their compression)."""
         arrays = {}
         for name in df.columns:
             ser = df[name]
@@ -138,6 +141,13 @@ class Table:
                 # NaN slots: give the filler a defined payload before the
                 # canonical null fill
                 v = np.where(na, np.zeros((), v.dtype), v)
+            if (downcast and v.dtype.kind in "iu" and v.dtype.itemsize == 8
+                    and name not in (schemes or {}) and v.size):
+                lo, hi = int(v.min()), int(v.max())
+                if -(2**31) <= lo and hi < 2**31:
+                    v = v.astype(np.int32)
+                elif 0 <= lo and hi < 2**32:
+                    v = v.astype(np.uint32)
             arrays[name] = (v, ~na) if has_na else v
         return cls.from_arrays(arrays, schemes)
 

@@ -226,3 +226,29 @@ def test_table_from_arrays_explicit_scheme_and_valid():
 
     assert is_nullable(t["st"])
     assert t.count(("st", "ge", 0)) == int(m.sum())
+
+
+def test_cli_import_export_roundtrip(tmp_path, capsys):
+    import pandas as pd
+
+    from giddy_tpu.cli import main
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n) + 3_000_000_000,
+        "amount": rng.integers(0, 500, n),
+        "status": [["ok", "err", "new"][i] for i in rng.integers(0, 3, n)],
+    })
+    csv, gtp, back = tmp_path / "t.csv", tmp_path / "t.gtp", tmp_path / "b.csv"
+    df.to_csv(csv, index=False)
+    main(["import", str(csv), "--out", str(gtp)])
+    out = capsys.readouterr().out
+    assert "3 columns x 5000 rows" in out
+    assert "status=strdict" in out
+    assert "amount=wide" not in out  # int64 CSV default downcast to 32-bit
+    main(["export", str(gtp), "--out", str(back)])
+    b = pd.read_csv(back)
+    np.testing.assert_array_equal(df["id"], b["id"])
+    np.testing.assert_array_equal(df["amount"], b["amount"])
+    assert (df["status"] == b["status"]).all()
