@@ -1,0 +1,122 @@
+"""Partitioned datasets (dataset.py): manifest zones, partition pruning,
+merged scans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import giddy_tpu as gt
+from giddy_tpu.dataset import Dataset, _prune
+from giddy_tpu.table import Table
+from giddy_tpu.util import GROUP
+
+
+def _part(lo, hi, n, rng, seed_keys=("a", "b", "c")):
+    ts = np.sort(rng.integers(lo, hi, n)).astype(np.int32)
+    amt = rng.integers(0, 1000, n, dtype=np.int64).astype(np.int32)
+    key = [seed_keys[i] for i in rng.integers(0, len(seed_keys), n)]
+    from giddy_tpu import strings
+
+    return Table([
+        gt.encode(ts, "delta", name="ts"),
+        gt.encode(amt, "nbit", name="amt"),
+        strings.encode_strings(key, name="key"),
+    ]), ts, amt, np.array(key, object)
+
+
+def test_prune_verdicts():
+    z = [10, 20]
+    assert _prune(z, "lt", 10) == "skip" and _prune(z, "lt", 21) == "all"
+    assert _prune(z, "lt", 15) == "scan"
+    assert _prune(z, "ge", 21) == "skip" and _prune(z, "ge", 10) == "all"
+    assert _prune(z, "eq", 5) == "skip" and _prune(z, "eq", 15) == "scan"
+    assert _prune([7, 7], "eq", 7) == "all" and _prune([7, 7], "ne", 7) == "skip"
+    assert _prune(None, "lt", 0) == "scan"
+
+
+def test_dataset_write_scan_agg(tmp_path):
+    rng = np.random.default_rng(0)
+    n = GROUP // 2 + 13
+    parts, tss, amts, keys = [], [], [], []
+    for k, (lo, hi) in enumerate([(0, 1000), (2000, 3000), (5000, 6000)]):
+        t, ts, amt, key = _part(lo, hi, n + k, rng)
+        parts.append(t)
+        tss.append(ts); amts.append(amt); keys.append(key)
+    ds = Dataset.write(str(tmp_path / "d"), parts)
+    assert ds.n_partitions == 3 and len(ds) == 3 * n + 3
+    ts_all = np.concatenate(tss); amt_all = np.concatenate(amts)
+    key_all = np.concatenate(keys)
+
+    # reopen from disk
+    ds = Dataset.open(str(tmp_path / "d"))
+    # partition pruning: predicate only partition 1 can match
+    plan = ds._plan([("ts", "ge", 2000), ("ts", "lt", 3000)])
+    assert [v for _, v in plan] == ["skip", "all", "skip"]
+    assert ds.count(("ts", "ge", 2000), ("ts", "lt", 3000)) == int(
+        ((ts_all >= 2000) & (ts_all < 3000)).sum())
+    # mixed scan/all/skip
+    thr = 500
+    assert ds.count(("ts", "ge", thr)) == int((ts_all >= thr).sum())
+    assert ds.count(("amt", "lt", 300), ("ts", "lt", 2500)) == int(
+        ((amt_all < 300) & (ts_all < 2500)).sum())
+
+    # aggregates: min/max straight from the manifest
+    assert ds.agg("ts", "min") == int(ts_all.min())
+    assert ds.agg("ts", "max") == int(ts_all.max())
+    assert ds.agg("amt", "sum") == int(amt_all.astype(np.int64).sum())
+    assert ds.agg("amt", "count") == amt_all.size
+    assert abs(ds.agg("amt", "avg") - amt_all.mean()) < 1e-9
+    assert ds.agg("key", "distinct") == 3
+
+    # select across partitions, pruned
+    rows = ds.select(["ts", "key"], ("ts", "ge", 2000), ("ts", "lt", 3000))
+    m = (ts_all >= 2000) & (ts_all < 3000)
+    np.testing.assert_array_equal(rows["ts"], ts_all[m])
+    np.testing.assert_array_equal(rows["key"], key_all[m])
+
+    # groupby merged across partitions (string keys), with a filter
+    r = ds.groupby("key", "amt", ("count", "sum", "min", "max"), ("amt", "ge", 100))
+    mm = amt_all >= 100
+    for j, k in enumerate(r.keys):
+        sel = amt_all[mm & (key_all == k)]
+        assert r.count[j] == sel.size
+        assert r.sum[j] == int(sel.astype(np.int64).sum())
+        assert r.min[j] == sel.min() and r.max[j] == sel.max()
+
+
+def test_dataset_append_and_pandas(tmp_path):
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(1)
+    n = 4000
+    df = pd.DataFrame({
+        "x": rng.integers(0, 100, 3 * n),
+        "s": [["p", "q"][i] for i in rng.integers(0, 2, 3 * n)],
+    })
+    ds = Dataset.from_pandas(str(tmp_path / "d"), df, rows_per_partition=n)
+    assert ds.n_partitions == 3 and len(ds) == 3 * n
+    assert ds.count(("x", "lt", 50)) == int((df["x"] < 50).sum())
+    back = ds.to_pandas(("x", "ge", 90))
+    sel = df[df["x"] >= 90].reset_index(drop=True)
+    np.testing.assert_array_equal(back["x"].to_numpy(), sel["x"].to_numpy())
+    assert (back["s"] == sel["s"]).all()
+
+    # append one more partition; manifest and scans update
+    t, ts, amt, key = _part(9000, 9500, 1000, rng)
+    with pytest.raises(ValueError, match="partition columns"):
+        ds.append(t)
+    extra = pd.DataFrame({"x": np.arange(1000) % 100, "s": ["p"] * 1000})
+    ds.append(Table.from_pandas(extra))
+    assert len(ds) == 3 * n + 1000
+    ds2 = Dataset.open(str(tmp_path / "d"))
+    assert ds2.n_partitions == 4
+    assert ds2.count(("x", "lt", 50)) == int((df["x"] < 50).sum()) + 500
+
+
+def test_dataset_write_refuses_overwrite(tmp_path):
+    rng = np.random.default_rng(2)
+    t, *_ = _part(0, 10, 100, rng)
+    Dataset.write(str(tmp_path / "d"), [t])
+    with pytest.raises(FileExistsError):
+        Dataset.write(str(tmp_path / "d"), [t])
+    Dataset.write(str(tmp_path / "d"), [t], overwrite=True)
