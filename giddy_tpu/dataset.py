@@ -64,10 +64,35 @@ def _zones_for(table: Table) -> dict:
     return zones
 
 
+def _stage(dtype: str | None, value):
+    """Predicate value -> the value the device scan actually compares
+    (query.py staging semantics: floats round to the column precision,
+    ints truncate toward zero). None = the zones cannot reason about it
+    (unknown dtype, out-of-range wrap) -> always 'scan'."""
+    from .util import np_dtype
+
+    if dtype is None:
+        return None
+    try:
+        dt = np_dtype(dtype)
+    except KeyError:
+        return None
+    try:
+        if dt.kind == "f":
+            return float(np.float64(value) if dt.itemsize == 8 else np.float32(value))
+        v = int(np.int64(value))
+    except (OverflowError, TypeError, ValueError):
+        return None
+    info = np.iinfo(dt)
+    if not (int(info.min) <= v <= int(info.max)):
+        return None  # device compares wrap mod 2**32; zones cannot model that
+    return v
+
+
 def _prune(zone, op: str, value) -> str:
     """'skip' (no row can match), 'all' (every non-null row matches), or
-    'scan'."""
-    if zone is None:
+    'scan'. ``value`` must already be staged (_stage)."""
+    if zone is None or value is None:
         return "scan"
     lo, hi = zone
     try:
@@ -133,16 +158,20 @@ class Dataset:
 
     def append(self, table: Table, *, _save_manifest: bool = True) -> None:
         """Add one partition (batch arrival). Column names must match."""
+        from .nulls import is_nullable
+
         cols = self.manifest["columns"]
         if cols is None:
             self.manifest["columns"] = table.names
+            self.manifest["dtypes"] = {nm: table[nm].dtype for nm in table.names}
         elif table.names != cols:
             raise ValueError(f"partition columns {table.names} != dataset {cols}")
         i = len(self.manifest["partitions"])
         fname = f"part-{i:05d}.gtp"
         table.save(os.path.join(self.path, fname))
         self.manifest["partitions"].append(
-            {"file": fname, "rows": table.n, "zones": _zones_for(table)}
+            {"file": fname, "rows": table.n, "zones": _zones_for(table),
+             "nullable": [nm for nm in table.names if is_nullable(table[nm])]}
         )
         self._parts[i] = table
         if _save_manifest:
@@ -179,11 +208,15 @@ class Dataset:
         all-match (and no column involved is nullable — null rows fail
         SQL predicates, so 'all' needs the exact valid count anyway:
         downgrade to 'scan' unless the zone row count is authoritative)."""
+        dts = self.manifest.get("dtypes") or {}
+        staged = [
+            (name, op, _stage(dts.get(name), value))
+            for name, op, value in predicates
+        ]
         out = []
         for i, p in enumerate(self.manifest["partitions"]):
             verdicts = [
-                _prune(p["zones"].get(name), op, value)
-                for name, op, value in predicates
+                _prune(p["zones"].get(name), op, sv) for name, op, sv in staged
             ]
             if any(v == "skip" for v in verdicts):
                 out.append((i, "skip"))
@@ -194,6 +227,10 @@ class Dataset:
         return out
 
     def _nullable_involved(self, i: int, predicates) -> bool:
+        p = self.manifest["partitions"][i]
+        if "nullable" in p:  # manifest answer: no container I/O
+            nn = set(p["nullable"])
+            return any(name in nn for name, _, _ in predicates)
         from .nulls import is_nullable
 
         t = self.part(i)
@@ -264,6 +301,9 @@ class Dataset:
             else:
                 chunks.append(t.select(names))
         if not chunks:
+            if self.n_partitions:  # typed empties matching the real schema
+                e = np.empty(0, np.int64)
+                return {nm: self.part(0).take(nm, e) for nm in names}
             return {nm: np.empty(0) for nm in names}
         return {
             nm: np.concatenate([c[nm] for c in chunks]) for nm in names

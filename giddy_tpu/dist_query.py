@@ -352,12 +352,10 @@ def semi_join_bitmap_sharded(probe: EncodedColumn, build: EncodedColumn,
     mesh = mesh or default_mesh(axis)
     vals = _distinct_values(build)
     if probe.scheme == "strdict":
-        from .strings import codes_column, dictionary
+        from .strings import code_set, codes_column
 
-        want = {v if isinstance(v, bytes) else bytes(v) for v in vals}
-        d = dictionary(probe)
-        codes = [i for i, b in enumerate(d) if bytes(b) in want]
-        return isin_bitmap_sharded(codes_column(probe), codes, mesh, axis)
+        return isin_bitmap_sharded(codes_column(probe), code_set(probe, vals),
+                                   mesh, axis)
     return isin_bitmap_sharded(probe, vals, mesh, axis)
 
 

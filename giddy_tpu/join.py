@@ -38,11 +38,11 @@ def _match_bitmap(col: EncodedColumn, values, mesh=None) -> "np.ndarray":
         from .dist_query import isin_bitmap_sharded
 
         if col.scheme == "strdict":
-            from .strings import codes_column, dictionary
+            from .strings import code_set, codes_column
 
-            want = {v if isinstance(v, bytes) else bytes(v) for v in values}
-            codes = [i for i, b in enumerate(dictionary(col)) if bytes(b) in want]
-            return np.asarray(isin_bitmap_sharded(codes_column(col), codes, mesh))
+            return np.asarray(
+                isin_bitmap_sharded(codes_column(col), code_set(col, values), mesh)
+            )
         return np.asarray(isin_bitmap_sharded(col, values, mesh))
     if col.scheme == "strdict":
         from .strings import isin_bitmap_str
@@ -77,8 +77,10 @@ def _take_keys(col: EncodedColumn, idx: np.ndarray) -> np.ndarray:
 
     t = Table([col])
     k = t.take(col.name, idx)
-    if k.dtype == object:  # bytes objects from a string dictionary
-        k = np.asarray(k, dtype=np.bytes_)
+    if k.dtype == object:  # str/bytes objects from a string dictionary
+        from .strings import as_bytes
+
+        k = np.array([as_bytes(x) for x in k], dtype=np.bytes_)
     return k
 
 

@@ -53,6 +53,25 @@ def _to_bytes_list(values) -> tuple[list[bytes], str]:
     return out, kind
 
 
+def as_bytes(v) -> bytes:
+    """One string value -> utf-8 bytes (the container's key space)."""
+    if isinstance(v, (bytes, np.bytes_)):
+        return bytes(v)
+    if isinstance(v, (str, np.str_)):
+        return str(v).encode("utf-8")
+    raise TypeError(f"string value must be str or bytes, got {type(v)}")
+
+
+def code_set(col: EncodedColumn, values) -> list[int]:
+    """Codes of the dictionary entries matching a value set (utf-8 key
+    space) — the shared semi-join/join rewrite for strdict probes."""
+    want = {as_bytes(v) for v in values}
+    off = col.streams["values_offsets"]
+    blob = col.streams["values_bytes"].tobytes()
+    d = col.params["dict_size"]
+    return [i for i in range(d) if blob[int(off[i]) : int(off[i + 1])] in want]
+
+
 AUTO_INNER = ("rle", "nbit", "delta", "for")
 
 

@@ -94,6 +94,24 @@ class Table:
             if arr.dtype.kind in ("U", "S", "O"):
                 cols.append(encode_strings(list(v), name=name, valid=valid))
                 continue
+            if arr.dtype.kind in ("M", "m"):
+                # datetime64/timedelta64: store the int64 ticks under the
+                # wide split, tag the logical dtype so to_pandas restores it
+                from .wide import encode as wide_encode
+
+                logical = str(arr.dtype)
+                iv = arr.view(np.int64)
+                if valid is not None:
+                    from . import nulls
+
+                    col = nulls.attach_valid(
+                        wide_encode(nulls.fill_nulls(iv, valid), name=name), valid
+                    )
+                else:
+                    col = wide_encode(iv, name=name)
+                col.params = {**col.params, "logical": logical}
+                cols.append(col)
+                continue
             scheme = schemes.get(name, "auto")
             if arr.dtype.itemsize == 8 and scheme in ("auto", "wide"):
                 if valid is not None:
@@ -142,7 +160,7 @@ class Table:
                 # canonical null fill
                 v = np.where(na, np.zeros((), v.dtype), v)
             if (downcast and v.dtype.kind in "iu" and v.dtype.itemsize == 8
-                    and name not in (schemes or {}) and v.size):
+                    and (schemes or {}).get(name) != "wide" and v.size):
                 lo, hi = int(v.min()), int(v.max())
                 if -(2**31) <= lo and hi < 2**31:
                     v = v.astype(np.int32)
@@ -380,10 +398,21 @@ class Table:
         df = pd.DataFrame(rows)
         for nm in self.names:
             col = self[nm]
+            logical = col.params.get("logical", "")
+            is_time = logical.startswith(("datetime64", "timedelta64"))
+            if is_time:
+                # stored as int64 ticks (from_arrays); NaT marks the nulls
+                df[nm] = pd.Series(
+                    np.asarray(rows[nm], np.int64).view(np.dtype(logical))
+                )
             if is_nullable(col):
                 m = valid_mask(col) if idx is None else valid_mask(col)[idx]
-                s = df[nm].astype(object)
-                s[~m] = pd.NA
+                if is_time:
+                    s = df[nm].copy()
+                    s[~m] = pd.NaT
+                else:
+                    s = df[nm].astype(object)
+                    s[~m] = pd.NA
                 df[nm] = s
         return df
 

@@ -261,6 +261,18 @@ def main() -> None:
     sbuild = encode_strings([b"bee", b"dog", b"owl"], codes_scheme="raw")
     bms = np.asarray(semi_join_bitmap_sharded(scol, sbuild))
     assert count_bits(bms, scol.n) == int(np.isin(sva, [b"bee", b"dog"]).sum())
+    # str-kind (utf-8) probe and build — regression: bytes(v) crashed here
+    sv_u = ["änt", "bee", "cät"]
+    scol_u = encode_strings(
+        [sv_u[i] for i in np.repeat(rng.integers(0, 3, 2 * GROUP), 8)[: 16 * GROUP]],
+        codes_scheme="rle")
+    sbuild_u = encode_strings(["cät", "owl"], codes_scheme="raw")
+    got = count_bits(np.asarray(semi_join_bitmap_sharded(scol_u, sbuild_u)), scol_u.n)
+    from giddy_tpu.strings import dictionary as _dic, codes_column as _cc
+
+    want_code = [i for i, s in enumerate(_dic(scol_u)) if s == "cät"]
+    cc = gt.decode_ref(_cc(scol_u))
+    assert got == int(np.isin(cc, want_code).sum())
     # the membership fold is collective-free
     staged = _staged_set_u32(icol.dtype, want_set)
     fni = _isin_scan_fn(icol, default_mesh(), "d", staged.size)

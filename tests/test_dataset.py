@@ -120,3 +120,33 @@ def test_dataset_write_refuses_overwrite(tmp_path):
     with pytest.raises(FileExistsError):
         Dataset.write(str(tmp_path / "d"), [t])
     Dataset.write(str(tmp_path / "d"), [t], overwrite=True)
+
+
+def test_prune_stages_values_like_the_device(tmp_path):
+    # int column of constant 2: device 'lt 2.5' truncates to x<2 -> 0 rows;
+    # the zone verdict must agree (regression: raw-python compare said 'all')
+    t = Table([gt.encode(np.full(500, 2, np.int32), "raw", name="x")])
+    ds = Dataset.write(str(tmp_path / "di"), [t])
+    assert ds.count(("x", "lt", 2.5)) == Table([t["x"]]).count(("x", "lt", 2.5)) == 0
+    assert ds.count(("x", "le", 2.5)) == 500  # le stages to le 2 -> all
+
+    # float32 column of 1.0: a double just above 1.0 rounds to 1.0f
+    tf = Table([gt.encode(np.full(400, 1.0, np.float32), "raw", name="f")])
+    dsf = Dataset.write(str(tmp_path / "df"), [tf])
+    v = 1.0000000000000002
+    assert dsf.count(("f", "lt", v)) == Table([tf["f"]]).count(("f", "lt", v)) == 0
+
+
+def test_dataset_all_shortcut_uses_manifest_nullability(tmp_path):
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 10, 600).astype(np.int32)
+    m = rng.random(600) >= 0.25
+    t = Table([gt.encode(v, "raw", name="x", valid=m)])
+    ds = Dataset.write(str(tmp_path / "dn"), [t])
+    ds2 = Dataset.open(str(tmp_path / "dn"))
+    assert ds2.manifest["partitions"][0]["nullable"] == ["x"]
+    # proven-'all' zone + nullable column: nulls still excluded
+    assert ds2.count(("x", "ge", 0)) == int(m.sum())
+    # empty select keeps real dtypes
+    out = ds2.select(["x"], ("x", "gt", 10**6))
+    assert out["x"].dtype == np.int32 and out["x"].size == 0

@@ -252,3 +252,42 @@ def test_cli_import_export_roundtrip(tmp_path, capsys):
     np.testing.assert_array_equal(df["id"], b["id"])
     np.testing.assert_array_equal(df["amount"], b["amount"])
     assert (df["status"] == b["status"]).all()
+
+
+def test_from_pandas_datetime_roundtrip():
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(24)
+    n = 3000
+    ts = pd.date_range("2024-01-01", periods=n, freq="s")
+    df = pd.DataFrame({"when": ts, "x": rng.integers(0, 9, n)})
+    df.loc[rng.integers(0, n, 100), "when"] = pd.NaT
+    t = Table.from_pandas(df)
+    assert t["when"].scheme == "wide"
+    assert t["when"].params["logical"].startswith("datetime64")
+    back = t.to_pandas()
+    assert str(back["when"].dtype).startswith("datetime64")
+    na = df["when"].isna()
+    assert (back["when"].isna() == na).all()
+    assert (back["when"][~na] == df["when"][~na]).all()
+
+
+def test_from_pandas_scheme_override_still_downcasts():
+    pd = pytest.importorskip("pandas")
+    df = pd.DataFrame({"amount": np.arange(2000) % 500})  # int64 by default
+    t = Table.from_pandas(df, schemes={"amount": "nbit"})
+    assert t["amount"].scheme == "nbit" and t["amount"].dtype == "int32"
+    assert t.agg("amount", "max") == 499
+
+
+def test_join_non_ascii_string_keys():
+    from giddy_tpu.join import join_indices
+    from giddy_tpu import strings
+
+    lv = ["héllo", "wörld", "héllo", "naïve"]
+    rv = ["wörld", "héllo"]
+    lc = strings.encode_strings(lv * 300, name="l")
+    rc = strings.encode_strings(rv * 100, name="r")
+    li, ri = join_indices(lc, rc)
+    lva, rva = np.array(lv * 300, object), np.array(rv * 100, object)
+    assert li.size == sum(int((rva == x).sum()) for x in lva if x in rv)
+    assert all(lva[i] == rva[j] for i, j in zip(li[:50], ri[:50]))
