@@ -238,11 +238,12 @@ class Dataset:
 
     # --- scans ------------------------------------------------------------
 
-    def count(self, *predicates) -> int:
+    def count(self, *predicates, mesh=None) -> int:
         """Rows matching the AND of (name, op, value) predicates. Skipped
         partitions cost nothing; proven-all partitions cost one manifest
         lookup (unless a predicate column is nullable there — null rows
-        never match, so those still scan)."""
+        never match, so those still scan). With ``mesh``, each scanned
+        partition's predicate folds run sharded (dist_query)."""
         if not predicates:
             return len(self)
         total = 0
@@ -252,12 +253,32 @@ class Dataset:
             if verdict == "all" and not self._nullable_involved(i, predicates):
                 total += self.manifest["partitions"][i]["rows"]
                 continue
-            total += self.part(i).count(*predicates)
+            if mesh is not None:
+                total += self._count_sharded(i, predicates, mesh)
+            else:
+                total += self.part(i).count(*predicates)
         return total
 
-    def agg(self, name: str, agg: str):
+    def _count_sharded(self, i: int, predicates, mesh) -> int:
+        from .dist_query import filter_bitmap_sharded
+        from .query import count_bits
+        from .strings import filter_bitmap_str_sharded
+
+        t = self.part(i)
+        bm = None
+        for name, op, value in predicates:
+            col = t[name]
+            if col.scheme == "strdict":
+                b = np.asarray(filter_bitmap_str_sharded(col, op, value, mesh))
+            else:
+                b = np.asarray(filter_bitmap_sharded(col, op, value, mesh))
+            bm = b if bm is None else (bm & b)
+        return count_bits(bm, t.n)
+
+    def agg(self, name: str, agg: str, *, mesh=None):
         """sum/min/max/avg/count/distinct across all partitions. min/max
-        of numeric columns answer from the manifest zones (exact)."""
+        of numeric columns answer from the manifest zones (exact). With
+        ``mesh``, per-partition sums fold sharded."""
         parts = self.manifest["partitions"]
         if not parts:
             raise ValueError("empty dataset")
@@ -272,6 +293,11 @@ class Dataset:
         if agg == "count":
             return sum(self.part(i).agg(name, "count") for i in range(len(parts)))
         if agg == "sum":
+            if mesh is not None:
+                from .dist_query import sum_sharded
+
+                return sum(sum_sharded(self.part(i)[name], mesh)
+                           for i in range(len(parts)))
             return sum(self.part(i).agg(name, "sum") for i in range(len(parts)))
         if agg == "avg":
             cnt = self.agg(name, "count")

@@ -294,6 +294,25 @@ def main() -> None:
     np.testing.assert_array_equal(ri0, ri1)
     assert li0.size > 0
     print("[dist] sharded-join: ok", flush=True)
+    # dataset scans over the mesh: per-partition sharded folds
+    import tempfile
+
+    from giddy_tpu.dataset import Dataset
+    from giddy_tpu.table import Table
+
+    with tempfile.TemporaryDirectory() as td:
+        pvs = []
+        tabs = []
+        for lo in (0, 50_000):
+            pv = (np.sort(rng.integers(lo, lo + 40_000, 8 * GROUP))).astype(np.int32)
+            pvs.append(pv)
+            tabs.append(Table([gt.encode(pv, "delta", name="ts")]))
+        dset = Dataset.write(td, tabs)
+        allv = np.concatenate(pvs)
+        thr = 45_000
+        assert dset.count(("ts", "lt", thr), mesh=default_mesh()) == int((allv < thr).sum())
+        assert dset.agg("ts", "sum", mesh=default_mesh()) == int(allv.astype(np.int64).sum())
+    print("[dist] dataset-mesh: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled
     # program may contain no collectives (SURVEY.md §3.11 comm-backend row —
     # this is the structural basis of the >=90% scaling target).
