@@ -111,10 +111,6 @@ def cmd_import(args) -> None:
 
     from .table import Table
 
-    if args.file.endswith((".parquet", ".pq")):
-        df = pd.read_parquet(args.file)
-    else:
-        df = pd.read_csv(args.file)
     schemes = {}
     for spec in args.scheme or []:
         try:
@@ -122,6 +118,20 @@ def cmd_import(args) -> None:
         except ValueError:
             raise SystemExit(f"bad --scheme spec {spec!r}; want name=scheme")
         schemes[name] = scheme
+    if args.partitioned:
+        if args.file.endswith((".parquet", ".pq")):
+            raise SystemExit("--partitioned streams CSV input only")
+        from .dataset import Dataset
+
+        ds = Dataset.from_csv(args.out, args.file, schemes=schemes,
+                              rows_per_partition=args.rows_per_partition)
+        print(f"{args.file} -> {args.out}: {ds.n_partitions} partitions x "
+              f"<= {args.rows_per_partition} rows, {len(ds)} total")
+        return
+    if args.file.endswith((".parquet", ".pq")):
+        df = pd.read_parquet(args.file)
+    else:
+        df = pd.read_csv(args.file)
     t = Table.from_pandas(df, schemes=schemes)
     t.save(args.out)
     total_dec = sum(t[nm].nbytes_decoded for nm in t.names)
@@ -320,6 +330,9 @@ def main(argv=None) -> None:
     im.add_argument("--out", required=True)
     im.add_argument("--scheme", action="append", metavar="NAME=SCHEME",
                     help="override the advisor for a column (repeatable)")
+    im.add_argument("--partitioned", action="store_true",
+                    help="stream a CSV into a partitioned dataset directory")
+    im.add_argument("--rows-per-partition", type=int, default=1 << 22)
     im.set_defaults(fn=cmd_import)
 
     ex = sub.add_parser("export", help="container -> CSV/Parquet")

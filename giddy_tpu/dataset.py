@@ -156,8 +156,38 @@ class Dataset:
 
         return cls.write(path, chunks(), overwrite=overwrite)
 
+    @classmethod
+    def from_csv(cls, path: str, csv_path: str, *,
+                 rows_per_partition: int = 1 << 22, schemes=None,
+                 overwrite: bool = False, **read_kw) -> "Dataset":
+        """Stream a CSV of any size into partitions without ever holding
+        it all in memory (pandas chunked reader -> one Table per chunk).
+        Later chunks are coerced to the first chunk's dtypes with an
+        exactness check, so a value that no longer fits (e.g. the first
+        chunk downcast to int32 and a later row needs 64 bits) raises
+        instead of silently wrapping — pass read_kw ``dtype=`` to pin
+        wider types up front."""
+        import pandas as pd
+
+        def chunks():
+            target = None
+            for chunk in pd.read_csv(csv_path, chunksize=rows_per_partition,
+                                     **read_kw):
+                t = Table.from_pandas(chunk.reset_index(drop=True),
+                                      schemes=schemes, dtypes=target)
+                if target is None:
+                    target = {
+                        nm: t[nm].dtype for nm in t.names
+                        if t[nm].scheme != "strdict"
+                        and not t[nm].params.get("logical")
+                    }
+                yield t
+
+        return cls.write(path, chunks(), overwrite=overwrite)
+
     def append(self, table: Table, *, _save_manifest: bool = True) -> None:
-        """Add one partition (batch arrival). Column names must match."""
+        """Add one partition (batch arrival). Column names and dtypes must
+        match (the manifest's zone staging depends on the dtype)."""
         from .nulls import is_nullable
 
         cols = self.manifest["columns"]
@@ -166,6 +196,16 @@ class Dataset:
             self.manifest["dtypes"] = {nm: table[nm].dtype for nm in table.names}
         elif table.names != cols:
             raise ValueError(f"partition columns {table.names} != dataset {cols}")
+        else:
+            dts = self.manifest.get("dtypes") or {}
+            for nm in table.names:
+                want = dts.get(nm)
+                if want is not None and table[nm].dtype != want:
+                    raise ValueError(
+                        f"partition column {nm!r} has dtype {table[nm].dtype}, "
+                        f"dataset expects {want} (encode with matching dtype, "
+                        f"or rebuild the dataset)"
+                    )
         i = len(self.manifest["partitions"])
         fname = f"part-{i:05d}.gtp"
         table.save(os.path.join(self.path, fname))

@@ -130,13 +130,17 @@ class Table:
         return cls(cols)
 
     @classmethod
-    def from_pandas(cls, df, schemes=None, *, downcast: bool = True) -> "Table":
+    def from_pandas(cls, df, schemes=None, *, downcast: bool = True,
+                    dtypes=None) -> "Table":
         """Encode a pandas DataFrame (the inverse of ``to_pandas``).
         Missing values (pd.NA / None / NaN in float columns — the pandas
         missing-data convention) become null rows. ``downcast`` narrows
         64-bit integer columns that fit in 32 bits (pandas defaults CSV
         ints to int64 with no intent behind it; the narrow dtype unlocks
-        the native 32-bit schemes and their compression)."""
+        the native 32-bit schemes and their compression). ``dtypes`` pins
+        named numeric columns to exact target dtypes (values that do not
+        fit raise instead of wrapping) — Dataset.from_csv uses this to
+        keep chunked partitions schema-consistent."""
         arrays = {}
         for name in df.columns:
             ser = df[name]
@@ -166,6 +170,15 @@ class Table:
                     v = v.astype(np.int32)
                 elif 0 <= lo and hi < 2**32:
                     v = v.astype(np.uint32)
+            want = (dtypes or {}).get(name)
+            if (want is not None and v.dtype.kind in "iuf"
+                    and v.dtype != np.dtype(want)):
+                conv = v.astype(want)
+                if not np.array_equal(conv.astype(v.dtype), v):
+                    raise ValueError(
+                        f"column {name!r}: values do not fit pinned dtype {want}"
+                    )
+                v = conv
             arrays[name] = (v, ~na) if has_na else v
         return cls.from_arrays(arrays, schemes)
 
@@ -415,6 +428,60 @@ class Table:
                     s[~m] = pd.NA
                 df[nm] = s
         return df
+
+    def sort_by(self, name: str, *, ascending: bool = True,
+                schemes=None) -> "Table":
+        """A new Table with rows reordered by ``name`` and every column
+        re-encoded (advisor unless ``schemes`` overrides). Sorted order is
+        what the delta/RLE/zone-map machinery feeds on, so this is the
+        standard preparation step for a scan-heavy column. Stable; null
+        keys sort last (SQL NULLS LAST); floats order by IEEE total order.
+        """
+        from . import nulls
+        from .zonemap import _keys
+
+        col = self[name]
+        if col.scheme == "strdict":
+            from .api import decode_ref
+            from .strings import codes_column
+
+            # codes are ordered by the bytes-sorted dictionary: sorting by
+            # code IS sorting by string
+            key = decode_ref(codes_column(col)).astype(np.int64)
+        else:
+            from .api import decode
+
+            v = np.asarray(decode(col))
+            key = _keys(v, col.dtype)
+        if not ascending:
+            # dense-rank negation: dtype-safe descending; equal keys share
+            # a rank so the final lexsort stays stable on ties
+            _, inv = np.unique(key, return_inverse=True)
+            key = -inv.astype(np.int64)
+        if nulls.is_nullable(col):
+            m = nulls.valid_mask(col)
+            nulls_last = ~m
+            # null rows carry the canonical FILL value in `key`; zero it so
+            # they keep their original relative order (stable NULLS LAST)
+            key = np.where(m, key, np.zeros((), key.dtype))
+        else:
+            nulls_last = np.zeros(self.n, bool)
+        idx = np.lexsort((np.arange(self.n), key, nulls_last))
+        arrays = {}
+        logical = {}
+        for nm in self.names:
+            c = self[nm]
+            vals = self.take(nm, idx)
+            if c.params.get("logical"):
+                logical[nm] = c.params["logical"]
+            if nulls.is_nullable(c):
+                arrays[nm] = (vals, nulls.valid_mask(c)[idx])
+            else:
+                arrays[nm] = vals
+        out = Table.from_arrays(arrays, schemes)
+        for nm, lg in logical.items():
+            out[nm].params = {**out[nm].params, "logical": lg}
+        return out
 
     def top_k(self, name: str, k: int, *, largest: bool = True,
               select=None):

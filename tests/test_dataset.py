@@ -150,3 +150,41 @@ def test_dataset_all_shortcut_uses_manifest_nullability(tmp_path):
     # empty select keeps real dtypes
     out = ds2.select(["x"], ("x", "gt", 10**6))
     assert out["x"].dtype == np.int32 and out["x"].size == 0
+
+
+def test_dataset_from_csv_streaming(tmp_path):
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(4)
+    n = 9000
+    df = pd.DataFrame({
+        "x": rng.integers(0, 1000, n),
+        "s": [["a", "b", "c"][i] for i in rng.integers(0, 3, n)],
+    })
+    csv = tmp_path / "big.csv"
+    df.to_csv(csv, index=False)
+    ds = Dataset.from_csv(str(tmp_path / "d"), str(csv), rows_per_partition=2500)
+    assert ds.n_partitions == 4 and len(ds) == n
+    assert ds.manifest["dtypes"]["x"] == "int32"  # downcast held across chunks
+    assert ds.count(("x", "lt", 500)) == int((df["x"] < 500).sum())
+    r = ds.groupby("s", "x", ("count", "sum"))
+    for j, k in enumerate(r.keys):
+        sel = df["x"][df["s"] == k]
+        assert r.count[j] == len(sel) and r.sum[j] == int(sel.sum())
+
+
+def test_dataset_from_csv_dtype_pin_rejects_overflow(tmp_path):
+    pd = pytest.importorskip("pandas")
+    # first chunk fits int32 -> pinned; second chunk needs 64 bits -> error
+    df = pd.DataFrame({"x": [1] * 100 + [2**40] * 100})
+    csv = tmp_path / "o.csv"
+    df.to_csv(csv, index=False)
+    with pytest.raises(ValueError, match="pinned dtype"):
+        Dataset.from_csv(str(tmp_path / "d"), str(csv), rows_per_partition=100)
+
+
+def test_dataset_append_dtype_mismatch(tmp_path):
+    t32 = Table([gt.encode(np.arange(100, dtype=np.int32), "raw", name="x")])
+    ds = Dataset.write(str(tmp_path / "d"), [t32])
+    t64 = Table([gt.encode(np.arange(100, dtype=np.int64), "wide", name="x")])
+    with pytest.raises(ValueError, match="dtype"):
+        ds.append(t64)

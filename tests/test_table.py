@@ -291,3 +291,35 @@ def test_join_non_ascii_string_keys():
     lva, rva = np.array(lv * 300, object), np.array(rv * 100, object)
     assert li.size == sum(int((rva == x).sum()) for x in lva if x in rv)
     assert all(lva[i] == rva[j] for i, j in zip(li[:50], ri[:50]))
+
+
+def test_table_sort_by():
+    rng = np.random.default_rng(25)
+    n = GROUP + 55
+    v = rng.integers(0, 300, n, dtype=np.int64).astype(np.int32)
+    w = rng.standard_normal(n).astype(np.float32)
+    s = [["x", "y", "z"][i] for i in rng.integers(0, 3, n)]
+    m = rng.random(n) >= 0.1
+    t = Table.from_arrays({"v": (v, m), "w": w, "s": s})
+    ts = t.sort_by("v")
+    # nulls last (in original order), valid ascending and stable
+    valid_idx, null_idx = np.flatnonzero(m), np.flatnonzero(~m)
+    order = np.concatenate([valid_idx[np.argsort(v[m], kind="stable")], null_idx])
+    got = ts.select(["v", "w", "s"])
+    np.testing.assert_array_equal(got["w"], w[order])
+    assert got["s"].tolist() == [s[i] for i in order]
+    from giddy_tpu.nulls import valid_mask
+
+    np.testing.assert_array_equal(valid_mask(ts["v"]), m[order])
+    nvalid = int(m.sum())
+    np.testing.assert_array_equal(got["v"][:nvalid], np.sort(v[m]))
+
+    # descending on the string column sorts by bytes-lex descending
+    td = t.sort_by("s", ascending=False)
+    sd = td.select(["s"])["s"].tolist()
+    assert sd == sorted(s, reverse=True)
+
+    # sorted numeric column now delta/rle-friendly and zone-map sorted
+    from giddy_tpu.zonemap import zone_map
+
+    assert zone_map(ts["v"]).sorted_ or int(m.sum()) < n  # nulls pad the tail
