@@ -412,6 +412,77 @@ class Dataset:
             max=np.array([merged[k]["max"] if merged[k]["max"] is not None else 0 for k in ks]) if "max" in need else None,
         )
 
+    def compact(self, out_path: str, *, rows_per_partition: int = 1 << 24,
+                schemes=None, overwrite: bool = False) -> "Dataset":
+        """Rewrite into evenly sized partitions (decode + re-encode with
+        the advisor, or ``schemes`` overrides). Batch arrival tends to
+        leave many small partitions; compaction restores full-GROUP
+        encode efficiency and tight zones. Memory stays bounded by
+        ``rows_per_partition`` plus one source partition."""
+        from .nulls import is_nullable, valid_mask
+
+        if os.path.abspath(out_path) == os.path.abspath(self.path):
+            raise ValueError("compact to a different directory (source partitions "
+                             "are read lazily while writing)")
+        names = self.names
+        logical = {}
+        if self.n_partitions:
+            p0 = self.part(0)
+            logical = {nm: p0[nm].params.get("logical") for nm in names}
+
+        def retag(t: Table) -> Table:
+            for nm, lg in logical.items():
+                if lg:
+                    t[nm].params = {**t[nm].params, "logical": lg}
+            return t
+
+        def chunks():
+            vals: dict[str, list] = {nm: [] for nm in names}
+            valid: dict[str, list] = {nm: [] for nm in names}
+            nullable = {nm: False for nm in names}
+            have = 0
+
+            def emit(k: int) -> Table:
+                nonlocal have
+                arrays = {}
+                for nm in names:
+                    v = np.concatenate(vals[nm])
+                    if nullable[nm]:
+                        m = np.concatenate(valid[nm])
+                        arrays[nm] = (v[:k], m[:k])
+                        valid[nm] = [m[k:]]
+                    else:
+                        arrays[nm] = v[:k]
+                        valid[nm] = []
+                    vals[nm] = [v[k:]]
+                have -= k
+                return retag(Table.from_arrays(arrays, schemes))
+
+            for i in range(self.n_partitions):
+                t = self.part(i)
+                rows = t.select(names)
+                for nm in names:
+                    c = t[nm]
+                    vals[nm].append(rows[nm])
+                    if is_nullable(c):
+                        nullable[nm] = True
+                        # backfill all-valid for earlier partitions
+                        prior = sum(x.shape[0] for x in vals[nm][:-1]) - sum(
+                            x.shape[0] for x in valid[nm]
+                        )
+                        if prior > 0:
+                            valid[nm].append(np.ones(prior, bool))
+                        valid[nm].append(valid_mask(c))
+                    elif nullable[nm]:
+                        valid[nm].append(np.ones(c.n, bool))
+                have += t.n
+                while have >= rows_per_partition:
+                    yield emit(rows_per_partition)
+            if have:
+                yield emit(have)
+
+        return Dataset.write(out_path, chunks(), overwrite=overwrite)
+
     def to_pandas(self, *predicates):
         import pandas as pd
 

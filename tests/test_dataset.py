@@ -188,3 +188,38 @@ def test_dataset_append_dtype_mismatch(tmp_path):
     t64 = Table([gt.encode(np.arange(100, dtype=np.int64), "wide", name="x")])
     with pytest.raises(ValueError, match="dtype"):
         ds.append(t64)
+
+
+def test_dataset_compact(tmp_path):
+    rng = np.random.default_rng(5)
+    # many small ragged partitions, nullable appears mid-stream
+    parts, vs, ms = [], [], []
+    for i in range(5):
+        n = 700 + 13 * i
+        v = rng.integers(0, 50, n).astype(np.int32)
+        if i >= 2:
+            m = rng.random(n) >= 0.2
+            parts.append(Table([gt.encode(v, "raw", name="x", valid=m)]))
+        else:
+            m = np.ones(n, bool)
+            parts.append(Table([gt.encode(v, "raw", name="x")]))
+        vs.append(v); ms.append(m)
+    ds = Dataset.write(str(tmp_path / "src"), parts)
+    with pytest.raises(ValueError, match="different directory"):
+        ds.compact(str(tmp_path / "src"))
+    out = ds.compact(str(tmp_path / "dst"), rows_per_partition=1500)
+    va, ma = np.concatenate(vs), np.concatenate(ms)
+    assert len(out) == va.size
+    assert out.n_partitions == int(np.ceil(va.size / 1500))
+    assert out.count(("x", "lt", 25)) == int((ma & (va < 25)).sum())
+    # null slots refill canonically on re-encode; valid rows are preserved
+    rows = out.select(["x"])
+    np.testing.assert_array_equal(rows["x"][ma], va[ma])
+    from giddy_tpu.nulls import is_nullable, valid_mask
+
+    got_m = np.concatenate([
+        valid_mask(out.part(i)["x"]) if is_nullable(out.part(i)["x"])
+        else np.ones(out.part(i).n, bool)
+        for i in range(out.n_partitions)
+    ])
+    np.testing.assert_array_equal(got_m, ma)

@@ -167,3 +167,26 @@ def test_isin_wide_and_float_regressions():
     colu = gt.encode(vu, "wide", name="u")
     vals = [int(x) for x in vu[:12]]
     assert count_bits(isin_bitmap(colu, vals), n) == int(np.isin(vu, vals).sum())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_join_fuzz_vs_pandas(seed):
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(100 + seed)
+    nl = int(rng.integers(500, GROUP + 200))
+    nr = int(rng.integers(500, GROUP + 200))
+    span = int(rng.integers(20, 3000))
+    lv = rng.integers(-span, span, nl, dtype=np.int64).astype(np.int32)
+    rv = rng.integers(-span, span, nr, dtype=np.int64).astype(np.int32)
+    lscheme = ["raw", "nbit", "dict", "for"][seed % 4]
+    rscheme = ["dict", "raw", "rle", "nbit"][seed % 4]
+    if lscheme == "nbit" or rscheme == "nbit":
+        lv, rv = np.abs(lv), np.abs(rv)
+    if rscheme == "rle":
+        rv = np.repeat(rv[: nr // 8 + 1], 8)[:nr]
+    li, ri = join_indices(gt.encode(lv, lscheme, name="l"),
+                          gt.encode(rv, rscheme, name="r"))
+    m = pd.DataFrame({"k": lv, "li": np.arange(nl)}).merge(
+        pd.DataFrame({"k": rv, "ri": np.arange(nr)}), on="k", how="inner")
+    assert sorted(zip(li.tolist(), ri.tolist())) == sorted(
+        zip(m["li"].tolist(), m["ri"].tolist()))
