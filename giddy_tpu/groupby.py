@@ -431,3 +431,57 @@ def _plane_group_parts(keys, plane_col, bitmap, *, want_neg) -> dict:
 def group_count(keys: EncodedColumn, bitmap=None) -> GroupResult:
     """Value-less GROUP BY: per-key row counts (optionally filtered)."""
     return group_reduce(keys, None, ("count",), bitmap)
+
+
+def group_reduce_multi(
+    key_cols: list,
+    vals: EncodedColumn | None = None,
+    aggs: tuple[str, ...] = ("count",),
+    bitmap=None,
+):
+    """GROUP BY several dictionary-backed key columns at once.
+
+    The composite key is built host-side from the columns' (narrow) code
+    streams — np.unique over the PRESENT combinations only, so the
+    synthetic dictionary never materializes the d1 x d2 x ... cross
+    product — then the single-key device fold runs unchanged over a
+    synthetic dense dict column. Returns a GroupResult whose ``keys`` is
+    an object array of per-column key tuples (rows null in ANY key are
+    excluded, like the single-key contract)."""
+    from . import nulls
+    from .api import encode as _encode
+    from .format import EncodedColumn as _EC  # noqa: F401 (doc aid)
+
+    if len(key_cols) == 1:
+        return group_reduce(key_cols[0], vals, aggs, bitmap)
+    if not key_cols:
+        raise ValueError("group_reduce_multi needs at least one key column")
+    n = key_cols[0].n
+    for k in key_cols:
+        if k.n != n:
+            raise ValueError("key columns must share n")
+    combined = np.zeros(n, dtype=np.int64)
+    dims = []
+    kvs = []
+    for k in key_cols:
+        c = _codes_host(k)
+        d = int(key_values(k).shape[0])
+        combined = combined * d + c
+        dims.append(d)
+        kvs.append(key_values(k))
+    uniq, inv = np.unique(combined, return_inverse=True)
+    key_col = _encode(inv.astype(np.int32), "dict")
+    # null rows in any key: AND their validity into the filter bitmap
+    bitmap = _and_validity(bitmap, *key_cols)
+    r = group_reduce(key_col, vals, aggs, bitmap)
+    # unpack combo ids back into per-column key tuples
+    out_keys = np.empty(uniq.shape[0], dtype=object)
+    for j, u in enumerate(uniq):
+        parts = []
+        rem = int(u)
+        for d in reversed(dims):
+            parts.append(rem % d)
+            rem //= d
+        parts.reverse()
+        out_keys[j] = tuple(kv[p] for kv, p in zip(kvs, parts))
+    return GroupResult(keys=out_keys, count=r.count, sum=r.sum, min=r.min, max=r.max)

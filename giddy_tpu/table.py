@@ -376,14 +376,19 @@ class Table:
             raise ValueError(f"agg must be one of {sorted(fn)}, got {agg!r}")
         return fn[agg](col)
 
-    def groupby(self, keys: str, vals: str | None = None,
+    def groupby(self, keys, vals: str | None = None,
                 aggs=("count",), *predicates):
-        """GROUP BY a dictionary-backed (dict/cascade/strdict) key column,
-        optionally under the AND of (name, op, value) predicates."""
-        from .groupby import group_reduce
+        """GROUP BY one dictionary-backed (dict/cascade/strdict) key
+        column — or several at once (pass a list of names; result keys
+        are per-column tuples) — optionally under the AND of
+        (name, op, value) predicates."""
+        from .groupby import group_reduce, group_reduce_multi
 
         bm = self.where_all(*predicates) if predicates else None
-        return group_reduce(self[keys], self[vals] if vals else None, tuple(aggs), bm)
+        v = self[vals] if vals else None
+        if isinstance(keys, (list, tuple)):
+            return group_reduce_multi([self[k] for k in keys], v, tuple(aggs), bm)
+        return group_reduce(self[keys], v, tuple(aggs), bm)
 
     def to_pandas(self, bitmap=None, *predicates):
         """Materialize (optionally the matching rows of) the table as a

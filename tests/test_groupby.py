@@ -197,3 +197,45 @@ def test_cli_groupby_where_needs_value(tmp_path, capsys):
         write_container(cols, f)
     with pytest.raises(SystemExit):
         main(["groupby", str(path), "--keys", "0", "--where", "1"])
+
+
+def test_group_reduce_multi_key():
+    from giddy_tpu.table import Table
+
+    rng = np.random.default_rng(31)
+    n = GROUP + 77
+    region_v = [["east", "west"][i] for i in rng.integers(0, 2, n)]
+    status_v = np.array([3, 7, 11], np.int32)[rng.integers(0, 3, n)]
+    amt = rng.integers(0, 1000, n, dtype=np.int64).astype(np.int32)
+    from giddy_tpu import strings
+
+    t = Table([
+        strings.encode_strings(region_v, name="region"),
+        gt.encode(status_v, "dict", name="status"),
+        gt.encode(amt, "for", name="amt"),
+    ])
+    r = t.groupby(["region", "status"], "amt", ("count", "sum", "min", "max"))
+    ra = np.array(region_v, object)
+    seen = 0
+    for j, key in enumerate(r.keys):
+        reg, st = key
+        sel = amt[(ra == reg) & (status_v == st)]
+        assert r.count[j] == sel.size
+        if sel.size:
+            assert r.sum[j] == int(sel.astype(np.int64).sum())
+            assert r.min[j] == sel.min() and r.max[j] == sel.max()
+            seen += 1
+    assert seen == 6  # every (region, status) combo occurs at this n
+
+    # filtered + nullable key: null rows drop out of every aggregate
+    m = rng.random(n) >= 0.2
+    t2 = Table([
+        strings.encode_strings(region_v, name="region", valid=m),
+        gt.encode(status_v, "dict", name="status"),
+        gt.encode(amt, "for", name="amt"),
+    ])
+    r2 = t2.groupby(["region", "status"], "amt", ("count",))
+    for j, key in enumerate(r2.keys):
+        reg, st = key
+        sel = m & (ra == reg) & (status_v == st)
+        assert r2.count[j] == int(sel.sum())
