@@ -404,8 +404,13 @@ class Dataset:
                     m["max"] = r.max[j] if m["max"] is None else max(m["max"], r.max[j])
         ks = sorted(merged)
         need = {a for a in aggs}
+        if ks and isinstance(ks[0], tuple):  # multi-key: object array of tuples
+            keys_arr = np.empty(len(ks), object)
+            keys_arr[:] = ks
+        else:
+            keys_arr = np.array(ks)
         return GroupResult(
-            keys=np.array(ks),
+            keys=keys_arr,
             count=np.array([merged[k]["count"] for k in ks], np.int64),
             sum=np.array([merged[k]["sum"] for k in ks]) if "sum" in need else None,
             min=np.array([merged[k]["min"] if merged[k]["min"] is not None else 0 for k in ks]) if "min" in need else None,

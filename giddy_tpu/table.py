@@ -390,6 +390,15 @@ class Table:
             return group_reduce_multi([self[k] for k in keys], v, tuple(aggs), bm)
         return group_reduce(self[keys], v, tuple(aggs), bm)
 
+    def distinct(self, names):
+        """SELECT DISTINCT: unique values of one column (dictionary
+        answer when it has one), or unique combinations (list of tuples)
+        of several dictionary-backed columns."""
+        if isinstance(names, str):
+            return _distinct_values(self[names])
+        r = self.groupby(list(names))
+        return [k for k, c in zip(r.keys, r.count) if c > 0]
+
     def to_pandas(self, bitmap=None, *predicates):
         """Materialize (optionally the matching rows of) the table as a
         pandas DataFrame — the interop boundary for everything downstream

@@ -223,3 +223,35 @@ def test_dataset_compact(tmp_path):
         for i in range(out.n_partitions)
     ])
     np.testing.assert_array_equal(got_m, ma)
+
+
+def test_dataset_multikey_groupby_and_distinct(tmp_path):
+    from giddy_tpu import strings
+
+    rng = np.random.default_rng(6)
+    parts, regs, sts, amts = [], [], [], []
+    for _ in range(3):
+        n = 1200
+        reg = [["e", "w"][i] for i in rng.integers(0, 2, n)]
+        st = np.array([1, 2], np.int32)[rng.integers(0, 2, n)]
+        amt = rng.integers(0, 100, n).astype(np.int32)
+        parts.append(Table([
+            strings.encode_strings(reg, name="r"),
+            gt.encode(st, "dict", name="s"),
+            gt.encode(amt, "nbit", name="a"),
+        ]))
+        regs += reg; sts.append(st); amts.append(amt)
+    ds = Dataset.write(str(tmp_path / "d"), parts)
+    ra = np.array(regs, object)
+    st_all, amt_all = np.concatenate(sts), np.concatenate(amts)
+    r = ds.groupby(["r", "s"], "a", ("count", "sum"))
+    assert len(r.keys) == 4
+    for j, (rg, sv) in enumerate(r.keys):
+        sel = amt_all[(ra == rg) & (st_all == sv)]
+        assert r.count[j] == sel.size
+        assert r.sum[j] == int(sel.astype(np.int64).sum())
+    # Table.distinct on one partition
+    t0 = ds.part(0)
+    assert sorted(t0.distinct("s")) == [1, 2]
+    combos = t0.distinct(["r", "s"])
+    assert sorted(combos) == [("e", 1), ("e", 2), ("w", 1), ("w", 2)]
