@@ -36,11 +36,11 @@ from giddy_tpu.datagen import gen_column
 REF_GBPS = {
     "nbit": 65.0, "for": 65.0, "dict": 65.0, "dzbf": 65.0,
     "delta": 35.0, "rle": 35.0, "rpe": 35.0, "dzbv": 35.0,
-    "model": 50.0, "bitmap": 50.0, "patched": 50.0, "raw": 100.0,
+    "model": 50.0, "bitmap": 50.0, "patched": 50.0, "raw": 100.0, "xordelta": 35.0,
     "cascade": 35.0,  # ~ dict gather atop an rle decode
 }
 HEADLINE = ["nbit", "for", "delta", "dict", "rle"]
-ALL = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "cascade"]
+ALL = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta"]
 
 
 def _median_time(run, iters: int, batch: int = 4) -> float:

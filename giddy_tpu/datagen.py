@@ -14,6 +14,11 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
     if scheme == "for":
         base = np.int32(1_700_000_000)
         return (base + rng.integers(0, 4096, n)).astype(np.int32)
+    if scheme == "xordelta":
+        # slowly varying float32 (sensor trace): neighbors share
+        # sign/exponent/high-mantissa bits, so bitpattern XORs pack narrow
+        steps = rng.normal(0, 1e-3 if not hard else 1e6, n)
+        return (np.cumsum(steps) + 300.0).astype(np.float32)
     if scheme in ("delta", "model"):
         # sorted timestamps (BASELINE configs[1])
         steps = rng.integers(0, 16 if not hard else 2**20, n)

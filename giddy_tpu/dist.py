@@ -96,7 +96,7 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         return local(dict(p), {"packed": st["packed"]})
     if scheme == "raw":
         return local({}, {"data": st["data"].reshape(ng, GROUP)})
-    if scheme == "delta":
+    if scheme in ("delta", "xordelta"):
         return local(dict(p), {"packed": st["packed"], "anchors": st["anchors"].reshape(ng, 1)})
     if scheme == "for":
         gpf = p["frame_len"] // GROUP

@@ -18,4 +18,5 @@ from . import (  # noqa: F401  (import = registration)
     patch,
     raw,
     rle,
+    xordelta,
 )

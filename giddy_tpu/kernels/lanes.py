@@ -134,6 +134,26 @@ def group_cumsum(x: jax.Array) -> jax.Array:
     return x
 
 
+def group_cumxor(x: jax.Array) -> jax.Array:
+    """Per-row inclusive prefix-XOR over the GROUP dimension — the XOR
+    twin of :func:`group_cumsum` (same Hillis–Steele roll-scan; XOR is
+    associative with identity 0). Backbone of xordelta decode."""
+    from .common import use_interpret  # deferred: avoid import cycle at init
+
+    if use_interpret():
+        return jax.lax.associative_scan(jnp.bitwise_xor, x, axis=1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, GROUP), 1)
+    k = 1
+    while k < GROUP:
+        shifted = pltpu.roll(x, k, 1)
+        x = x ^ jnp.where(col >= k, shifted, jnp.uint32(0))
+        k *= 2
+    return x
+
+
 def linear_iota(rows: int) -> jax.Array:
     """(rows, GROUP) uint32 iota of within-group linear positions."""
     return jax.lax.broadcasted_iota(jnp.uint32, (rows, GROUP), 1)

@@ -22,4 +22,5 @@ from . import (  # noqa: F401  (import = registration)
     raw,
     rle,
     rpe,
+    xordelta,
 )

@@ -60,6 +60,7 @@ def test_stream_alignment():
         ("patched", "patched_for"),
         ("raw", "raw_rand"),
         ("cascade", "cascade_rledict"),
+        ("xordelta", "xordelta_sensor"),
     ],
 )
 def test_golden_format_frozen(scheme, digest_name):

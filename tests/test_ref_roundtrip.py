@@ -9,7 +9,7 @@ from giddy_tpu.util import GROUP
 
 from helpers import EDGE_SIZES, gen_column
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw"]
+SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "xordelta"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
