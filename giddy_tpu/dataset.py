@@ -249,15 +249,30 @@ class Dataset:
         SQL predicates, so 'all' needs the exact valid count anyway:
         downgrade to 'scan' unless the zone row count is authoritative)."""
         dts = self.manifest.get("dtypes") or {}
-        staged = [
-            (name, op, _stage(dts.get(name), value))
-            for name, op, value in predicates
-        ]
+        staged = []
+        for name, op, value in predicates:
+            if op == "between":  # zone-wise: ge lo AND le hi
+                staged.append((name, "ge", _stage(dts.get(name), value[0])))
+                staged.append((name, "le", _stage(dts.get(name), value[1])))
+            elif op == "isin":
+                vs = [_stage(dts.get(name), v) for v in value]
+                staged.append((name, "isin", None if any(v is None for v in vs) else vs))
+            else:
+                staged.append((name, op, _stage(dts.get(name), value)))
         out = []
         for i, p in enumerate(self.manifest["partitions"]):
-            verdicts = [
-                _prune(p["zones"].get(name), op, sv) for name, op, sv in staged
-            ]
+            verdicts = []
+            for name, op, sv in staged:
+                z = p["zones"].get(name)
+                if op == "isin":
+                    if z is None or sv is None:
+                        verdicts.append("scan")
+                    else:  # skip when every set value falls outside the zone
+                        verdicts.append(
+                            "skip" if all(x < z[0] or x > z[1] for x in sv) else "scan"
+                        )
+                else:
+                    verdicts.append(_prune(z, op, sv))
             if any(v == "skip" for v in verdicts):
                 out.append((i, "skip"))
             elif all(v == "all" for v in verdicts):
@@ -305,6 +320,8 @@ class Dataset:
         from .strings import filter_bitmap_str_sharded
 
         t = self.part(i)
+        if any(op in ("between", "isin") for _, op, _ in predicates):
+            return t.count(*predicates)  # compound ops: single-chip path
         bm = None
         for name, op, value in predicates:
             col = t[name]

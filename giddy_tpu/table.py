@@ -224,8 +224,21 @@ class Table:
     def where(self, name: str, op: str, value):
         """LMP(1) match bitmap for one predicate — string columns route to
         the dictionary rewrite (incl. startswith/contains), numeric columns
-        to the fused filter kernels. Compose with bitmap_and/or/not."""
+        to the fused filter kernels. ``op`` may also be ``between``
+        (value = (lo, hi), inclusive) or ``isin`` (value = iterable).
+        Compose with bitmap_and/or/not."""
         col = self[name]
+        if op == "isin":
+            return self.isin(name, value)
+        if op == "between":
+            lo, hi = value
+            if col.scheme == "strdict":
+                from .strings import filter_bitmap_str
+
+                return filter_bitmap_str(col, "ge", lo) & filter_bitmap_str(col, "le", hi)
+            from .query import between_bitmap
+
+            return between_bitmap(col, lo, hi)
         if col.scheme == "strdict":
             from .strings import filter_bitmap_str
 
@@ -243,6 +256,18 @@ class Table:
             bm = b if bm is None else (bm & b)
         if bm is None:
             raise ValueError("where_all needs at least one predicate")
+        return bm
+
+    def where_any(self, *predicates):
+        """OR of (name, op, value) predicates. NOTE: unlike AND, an OR over
+        nullable columns follows SQL three-valued logic only per-term
+        (null rows never match any term, hence never the OR)."""
+        bm = None
+        for name, op, value in predicates:
+            b = self.where(name, op, value)
+            bm = b if bm is None else (bm | b)
+        if bm is None:
+            raise ValueError("where_any needs at least one predicate")
         return bm
 
     def count(self, *predicates) -> int:

@@ -255,3 +255,21 @@ def test_dataset_multikey_groupby_and_distinct(tmp_path):
     assert sorted(t0.distinct("s")) == [1, 2]
     combos = t0.distinct(["r", "s"])
     assert sorted(combos) == [("e", 1), ("e", 2), ("w", 1), ("w", 2)]
+
+
+def test_dataset_between_isin_pruning(tmp_path):
+    rng = np.random.default_rng(7)
+    parts, alls = [], []
+    for lo in (0, 1000, 2000):
+        v = rng.integers(lo, lo + 500, 800).astype(np.int32)
+        parts.append(Table([gt.encode(v, "raw", name="x")]))
+        alls.append(v)
+    ds = Dataset.write(str(tmp_path / "d"), parts)
+    va = np.concatenate(alls)
+    plan = ds._plan([("x", "between", (1100, 1300))])
+    assert [v for _, v in plan] == ["skip", "scan", "skip"]
+    assert ds.count(("x", "between", (1100, 1300))) == int(
+        ((va >= 1100) & (va <= 1300)).sum())
+    plan = ds._plan([("x", "isin", [700, 2100])])
+    assert [v for _, v in plan] == ["skip", "skip", "scan"]
+    assert ds.count(("x", "isin", [700, 2100])) == int(np.isin(va, [700, 2100]).sum())

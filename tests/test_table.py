@@ -323,3 +323,25 @@ def test_table_sort_by():
     from giddy_tpu.zonemap import zone_map
 
     assert zone_map(ts["v"]).sorted_ or int(m.sum()) < n  # nulls pad the tail
+
+
+def test_where_between_isin_and_or():
+    from giddy_tpu.query import count_bits
+
+    rng = np.random.default_rng(26)
+    n = GROUP + 19
+    t, ts, amount, status = _table(n, rng)
+    lo, hi = 2000, 7000
+    bm = t.where("amount", "between", (lo, hi))
+    assert count_bits(bm, n) == int(((amount >= lo) & (amount <= hi)).sum())
+    assert t.count(("amount", "between", (lo, hi)), ("status", "ne", b"err")) == int(
+        ((amount >= lo) & (amount <= hi) & (status != b"err")).sum())
+    vals = [5, 77, 4242]
+    bm = t.where("amount", "isin", vals)
+    assert count_bits(bm, n) == int(np.isin(amount, vals).sum())
+    # string between via dictionary ranges
+    bm = t.where("status", "between", (b"err", b"new"))
+    assert count_bits(bm, n) == int(((status >= b"err") & (status <= b"new")).sum())
+    # OR composition
+    bm = t.where_any(("amount", "lt", 100), ("status", "eq", b"err"))
+    assert count_bits(bm, n) == int(((amount < 100) | (status == b"err")).sum())
