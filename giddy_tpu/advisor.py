@@ -31,8 +31,12 @@ def suggest(
 
     Returns [(scheme, estimated_ratio)] best-first; schemes that cannot
     encode the column (e.g. bitmap over a high-cardinality column would
-    explode) are skipped. Sampling uses whole GROUPs so run/frame shapes
-    survive.
+    explode) are skipped. The sample is ONE contiguous whole-GROUP window:
+    scattered groups would create artificial jumps at the seams, and a
+    single outlier delta poisons a global-width scheme's estimate (delta
+    on a sorted column looked 4x worse than reality). Contiguity keeps
+    delta/run statistics exact; the cost is missing long-range dictionary
+    growth, which only under-counts dict's size (small anyway).
 
     With ``measure=True``, candidates whose ratios are within ``tie_tol``
     of the leader are re-ordered by measured device decode throughput on
@@ -46,8 +50,8 @@ def suggest(
     if n > sample_groups * GROUP:
         rng = rng or np.random.default_rng(0)
         ng = n // GROUP
-        picks = np.sort(rng.choice(ng, sample_groups, replace=False))
-        sample = np.concatenate([values[g * GROUP : (g + 1) * GROUP] for g in picks])
+        g0 = int(rng.integers(0, ng - sample_groups + 1))
+        sample = values[g0 * GROUP : (g0 + sample_groups) * GROUP]
     else:
         sample = values
     results = []
