@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -260,6 +261,21 @@ def cmd_agg(args) -> None:
 def cmd_info(args) -> None:
     from .nulls import is_nullable, null_count
 
+    if os.path.isdir(args.input):  # partitioned dataset directory
+        from .dataset import Dataset
+
+        ds = Dataset.open(args.input)
+        print(json.dumps({
+            "dataset": args.input,
+            "rows": len(ds),
+            "partitions": ds.n_partitions,
+            "columns": ds.names,
+            "dtypes": ds.manifest.get("dtypes", {}),
+            "zones": {
+                p["file"]: p["zones"] for p in ds.manifest["partitions"]
+            },
+        }))
+        return
     for col in _load_cols(args.input):
         info = {
             "name": col.name, "scheme": col.scheme, "dtype": col.dtype,

@@ -506,6 +506,13 @@ class Table:
         else:
             nulls_last = np.zeros(self.n, bool)
         idx = np.lexsort((np.arange(self.n), key, nulls_last))
+        return self._take_table(idx, schemes)
+
+    def _take_table(self, idx: np.ndarray, schemes=None) -> "Table":
+        """Rows at ``idx`` as a new re-encoded Table (validity masks and
+        logical dtype tags preserved) — shared by sort_by and filter."""
+        from . import nulls
+
         arrays = {}
         logical = {}
         for nm in self.names:
@@ -521,6 +528,25 @@ class Table:
         for nm, lg in logical.items():
             out[nm].params = {**out[nm].params, "logical": lg}
         return out
+
+    def filter(self, *predicates, bitmap=None, schemes=None) -> "Table":
+        """A new Table holding only the rows matching the AND of
+        (name, op, value) predicates (or an explicit bitmap), re-encoded
+        with the advisor — the materializing sibling of ``select`` for
+        when the filtered result is itself scanned or saved."""
+        if predicates:
+            pbm = self.where_all(*predicates)
+            bitmap = pbm if bitmap is None else (np.asarray(bitmap) & np.asarray(pbm))
+        if bitmap is None:
+            raise ValueError("filter needs predicates or a bitmap")
+        from .ref.lmp import lmp_unpack
+        from .util import LANES, num_groups
+
+        words = np.asarray(bitmap).reshape(num_groups(self.n), LANES)
+        idx = np.flatnonzero(lmp_unpack(words, 1, self.n).astype(bool))
+        if idx.size == 0:
+            raise ValueError("filter matched no rows (a Table cannot be empty)")
+        return self._take_table(idx, schemes)
 
     def top_k(self, name: str, k: int, *, largest: bool = True,
               select=None):

@@ -345,3 +345,20 @@ def test_where_between_isin_and_or():
     # OR composition
     bm = t.where_any(("amount", "lt", 100), ("status", "eq", b"err"))
     assert count_bits(bm, n) == int(((amount < 100) | (status == b"err")).sum())
+
+
+def test_table_filter_materializes_new_table():
+    rng = np.random.default_rng(27)
+    n = GROUP + 31
+    t, ts, amount, status = _table(n, rng)
+    thr = int(np.median(amount))
+    t2 = t.filter(("amount", "ge", thr), ("status", "ne", b"err"))
+    m = (amount >= thr) & (status != b"err")
+    assert len(t2) == int(m.sum())
+    np.testing.assert_array_equal(t2.select(["ts"])["ts"], ts[m])
+    assert t2.select(["status"])["status"].tolist() == list(np.array(status, object)[m])
+    # the filtered table is itself scannable
+    assert t2.count(("amount", "lt", thr + 500)) == int(
+        (amount[m] < thr + 500).sum())
+    with pytest.raises(ValueError, match="no rows"):
+        t.filter(("amount", "lt", -1))
