@@ -80,8 +80,6 @@ def main(n: int = 1 << 20) -> None:
             "cust": np.arange(50_000, dtype=np.int32),
             "segment": [segs[i] for i in rng.integers(0, 3, 50_000)],
         })
-        big = orders.where("total", "ge", float(np.quantile(total, 0.999)))
-        hits = orders.select(["cust"], big)["cust"]
         joined, li, ri = Table([orders["cust"]]).join("cust", cust,
                                                       other_select=["segment"])
         assert li.size == n  # every order has exactly one customer

@@ -65,8 +65,9 @@ def _zones_for(table: Table) -> dict:
 
 
 def _stage(dtype: str | None, value):
-    """Predicate value -> the value the device scan actually compares
-    (query.py staging semantics: floats round to the column precision,
+    """Predicate value -> the comparison key the device scan actually uses
+    (query.py staging semantics: floats round to the column precision and
+    compare in IEEE total order — so -0.0 < +0.0, matching the device —
     ints truncate toward zero). None = the zones cannot reason about it
     (unknown dtype, out-of-range wrap) -> always 'scan'."""
     from .util import np_dtype
@@ -79,7 +80,10 @@ def _stage(dtype: str | None, value):
         return None
     try:
         if dt.kind == "f":
-            return float(np.float64(value) if dt.itemsize == 8 else np.float32(value))
+            from .zonemap import _key_scalar
+
+            v = np.float64(value) if dt.itemsize == 8 else np.float32(value)
+            return int(_key_scalar(float(v), dtype))
         v = int(np.int64(value))
     except (OverflowError, TypeError, ValueError):
         return None
@@ -87,6 +91,28 @@ def _stage(dtype: str | None, value):
     if not (int(info.min) <= v <= int(info.max)):
         return None  # device compares wrap mod 2**32; zones cannot model that
     return v
+
+
+def _zone_keys(dtype: str | None, zone):
+    """Manifest zone [min, max] -> the same key space _stage uses (floats
+    to total-order keys; ints unchanged). None disables pruning."""
+    if zone is None or dtype is None:
+        return None
+    from .util import np_dtype
+
+    try:
+        dt = np_dtype(dtype)
+    except KeyError:
+        return None
+    if dt.kind != "f":
+        return zone
+    from .zonemap import _key_scalar
+
+    try:
+        return [int(_key_scalar(float(zone[0]), dtype)),
+                int(_key_scalar(float(zone[1]), dtype))]
+    except (TypeError, ValueError):
+        return None
 
 
 def _prune(zone, op: str, value) -> str:
@@ -263,7 +289,7 @@ class Dataset:
         for i, p in enumerate(self.manifest["partitions"]):
             verdicts = []
             for name, op, sv in staged:
-                z = p["zones"].get(name)
+                z = _zone_keys(dts.get(name), p["zones"].get(name))
                 if op == "isin":
                     if z is None or sv is None:
                         verdicts.append("scan")
@@ -358,7 +384,7 @@ class Dataset:
             return sum(self.part(i).agg(name, "sum") for i in range(len(parts)))
         if agg == "avg":
             cnt = self.agg(name, "count")
-            return float(self.agg(name, "sum")) / cnt if cnt else float("nan")
+            return float(self.agg(name, "sum", mesh=mesh)) / cnt if cnt else float("nan")
         if agg == "distinct":
             from .table import _distinct_values
 

@@ -80,7 +80,11 @@ def _take_keys(col: EncodedColumn, idx: np.ndarray) -> np.ndarray:
     if k.dtype == object:  # str/bytes objects from a string dictionary
         from .strings import as_bytes
 
-        k = np.array([as_bytes(x) for x in k], dtype=np.bytes_)
+        # fixed-width "S" dtype treats trailing NULs as padding, which
+        # would alias b"a" and b"a\x00"; a \x01 sentinel suffix keeps every
+        # key's NULs interior (equality/grouping stay exact; strip the
+        # sentinel before probing the device scan)
+        k = np.array([as_bytes(x) + b"\x01" for x in k], dtype=np.bytes_)
     return k
 
 
@@ -123,7 +127,8 @@ def join_indices(left: EncodedColumn, right: EncodedColumn, *, mesh=None):
         w = np.unique(lk.view(np.uint32 if lk.dtype.itemsize == 4 else np.uint64))
         probe_vals = [float(x) for x in w.view(lk.dtype)]
     elif lk.dtype.kind == "S":
-        probe_vals = [bytes(v) for v in np.unique(lk)]
+        # strip the \x01 sentinel _take_keys appended (see there)
+        probe_vals = [bytes(v)[:-1] for v in np.unique(lk)]
     else:
         probe_vals = [int(v) for v in np.unique(lk)]
     ri = _bitmap_indices(_match_bitmap(right, probe_vals, mesh), right.n)

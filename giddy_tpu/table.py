@@ -150,6 +150,14 @@ class Table:
                 vals = ["" if m else x for x, m in zip(ser.tolist(), na)]
                 arrays[name] = (np.array(vals, dtype=object), ~na) if has_na else np.array(vals, dtype=object)
                 continue
+            if getattr(ser.dtype, "kind", "") in ("M", "m"):
+                # tz-aware timestamps normalize to naive UTC first (numpy
+                # has no tz concept; the logical tag records the unit)
+                if getattr(ser.dtype, "tz", None) is not None:
+                    ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+                v = ser.to_numpy()
+                arrays[name] = (v, ~na) if has_na else v
+                continue
             np_dt = getattr(ser.dtype, "numpy_dtype", None)  # masked ext. dtypes
             if np_dt is not None:
                 v = ser.to_numpy(dtype=np_dt, na_value=0)

@@ -302,15 +302,26 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         pvs = []
+        svs = []
         tabs = []
         for lo in (0, 50_000):
             pv = (np.sort(rng.integers(lo, lo + 40_000, 8 * GROUP))).astype(np.int32)
+            sv2 = [["lo", "hi"][int(x >= 20_000)] for x in pv]
             pvs.append(pv)
-            tabs.append(Table([gt.encode(pv, "delta", name="ts")]))
+            svs += sv2
+            tabs.append(Table([gt.encode(pv, "delta", name="ts"),
+                               encode_strings(sv2, name="lv")]))
         dset = Dataset.write(td, tabs)
         allv = np.concatenate(pvs)
-        thr = 45_000
+        # thr INSIDE partition 0's range: its verdict is 'scan', so the
+        # sharded AND-fold (_count_sharded) actually executes
+        thr = 20_000
+        assert [v for _, v in dset._plan([("ts", "lt", thr)])] == ["scan", "skip"]
         assert dset.count(("ts", "lt", thr), mesh=default_mesh()) == int((allv < thr).sum())
+        # strdict predicate rides filter_bitmap_str_sharded in the same fold
+        sva2 = np.array(svs, object)
+        got = dset.count(("ts", "lt", 60_000), ("lv", "eq", "lo"), mesh=default_mesh())
+        assert got == int(((allv < 60_000) & (sva2 == "lo")).sum())
         assert dset.agg("ts", "sum", mesh=default_mesh()) == int(allv.astype(np.int64).sum())
     print("[dist] dataset-mesh: ok", flush=True)
     # steady-state decode must move ZERO bytes between shards: the compiled

@@ -273,3 +273,15 @@ def test_dataset_between_isin_pruning(tmp_path):
     plan = ds._plan([("x", "isin", [700, 2100])])
     assert [v for _, v in plan] == ["skip", "skip", "scan"]
     assert ds.count(("x", "isin", [700, 2100])) == int(np.isin(va, [700, 2100]).sum())
+
+
+def test_prune_signed_zero_total_order(tmp_path):
+    # -0.0 column: device compares in IEEE total order (-0.0 < +0.0); the
+    # zone verdicts must agree (regression: python float compare said skip)
+    v = np.full(500, -0.0, np.float32)
+    t = Table([gt.encode(v, "raw", name="f")])
+    ds = Dataset.write(str(tmp_path / "dz"), [t])
+    want_lt = Table([t["f"]]).count(("f", "lt", 0.0))
+    want_ge = Table([t["f"]]).count(("f", "ge", 0.0))
+    assert ds.count(("f", "lt", 0.0)) == want_lt == 500
+    assert ds.count(("f", "ge", 0.0)) == want_ge == 0

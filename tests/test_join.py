@@ -190,3 +190,13 @@ def test_join_fuzz_vs_pandas(seed):
         pd.DataFrame({"k": rv, "ri": np.arange(nr)}), on="k", how="inner")
     assert sorted(zip(li.tolist(), ri.tolist())) == sorted(
         zip(m["li"].tolist(), m["ri"].tolist()))
+
+
+def test_join_nul_byte_string_keys():
+    # b"a" and b"a\x00" are distinct keys; the fixed-width host sort must
+    # not alias them (regression: S-dtype trailing-NUL padding paired them)
+    lv = [b"a", b"a\x00"] * 200
+    rv = [b"a", b"a\x00"] * 100
+    lc = strings.encode_strings(lv, name="l")
+    rc = strings.encode_strings(rv, name="r")
+    check(lc, rc, lv, rv)

@@ -362,3 +362,15 @@ def test_table_filter_materializes_new_table():
         (amount[m] < thr + 500).sum())
     with pytest.raises(ValueError, match="no rows"):
         t.filter(("amount", "lt", -1))
+
+
+def test_from_pandas_tz_aware_datetime():
+    pd = pytest.importorskip("pandas")
+    ts = pd.date_range("2024-03-01", periods=2000, freq="h", tz="US/Eastern")
+    df = pd.DataFrame({"when": ts})
+    t = Table.from_pandas(df)
+    assert t["when"].params["logical"].startswith("datetime64")
+    back = t.to_pandas()
+    # round-trips as naive UTC instants
+    want = ts.tz_convert("UTC").tz_localize(None)
+    assert (back["when"] == pd.Series(want)).all()
