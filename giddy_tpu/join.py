@@ -103,14 +103,31 @@ def _common_key_dtype(a: np.ndarray, b: np.ndarray):
     return ct
 
 
-def join_indices(left: EncodedColumn, right: EncodedColumn, *, mesh=None):
-    """Row-index pairs (li, ri) of the inner equi-join ``left == right``.
+def join_indices(left: EncodedColumn, right: EncodedColumn, *, mesh=None,
+                 how: str = "inner"):
+    """Row-index pairs (li, ri) of the equi-join ``left == right``.
 
     Output is left-major: pairs are ordered by ``li``, and for one left
     row its right partners appear in original right order. Null keys on
     either side never match. With ``mesh``, both membership prunes run
     sharded over the device mesh (collective-free scans).
+
+    ``how="left"`` additionally emits every unmatched left row (including
+    null-key rows — SQL LEFT OUTER JOIN) once, with ``ri = -1``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    li, ri = _inner_indices(left, right, mesh)
+    if how == "inner":
+        return li, ri
+    unmatched = np.setdiff1d(np.arange(left.n, dtype=np.int64), li)
+    li_all = np.concatenate([li, unmatched])
+    ri_all = np.concatenate([ri, np.full(unmatched.size, -1, np.int64)])
+    order = np.argsort(li_all, kind="stable")
+    return li_all[order], ri_all[order]
+
+
+def _inner_indices(left: EncodedColumn, right: EncodedColumn, mesh):
     from .table import _distinct_values
 
     right_set = _distinct_values(right)
@@ -185,26 +202,31 @@ def anti_join_bitmap(probe: EncodedColumn, build: EncodedColumn):
 
 def join_tables(left, on: str, right, right_on: str | None = None,
                 select=None, right_select=None, suffix: str = "_r", *,
-                mesh=None):
-    """Materialized inner equi-join of two Tables.
+                mesh=None, how: str = "inner"):
+    """Materialized equi-join of two Tables.
 
     Returns ``(rows, li, ri)``: a dict of joined output columns (left
     ``select`` names as-is; right ``right_select`` names, suffixed on
     collision) and the underlying row-index pairs. ``select`` defaults to
     all left columns, ``right_select`` to all right columns except the
     key (which would duplicate the left key).
+
+    ``how="left"``: unmatched left rows appear once with ``ri = -1``;
+    their right-column cells hold row 0's value as a placeholder — mask
+    with ``ri >= 0`` (the matched indicator) before use.
     """
     right_on = on if right_on is None else right_on
-    li, ri = join_indices(left[on], right[right_on], mesh=mesh)
+    li, ri = join_indices(left[on], right[right_on], mesh=mesh, how=how)
     select = left.names if select is None else list(select)
     if right_select is None:
         right_select = [nm for nm in right.names if nm != right_on]
     rows: dict[str, np.ndarray] = {}
     for nm in select:
         rows[nm] = left.take(nm, li)
+    ri_take = np.where(ri < 0, 0, ri)
     for nm in right_select:
         out = nm if nm not in rows else nm + suffix
         if out in rows:
             raise ValueError(f"column name collision after suffix: {out!r}")
-        rows[out] = right.take(nm, ri)
+        rows[out] = right.take(nm, ri_take)
     return rows, li, ri

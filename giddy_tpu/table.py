@@ -326,16 +326,18 @@ class Table:
         return isin_bitmap(col, list(build_set))
 
     def join(self, on: str, other: "Table", other_on: str | None = None,
-             select=None, other_select=None, suffix: str = "_r", *, mesh=None):
-        """Materialized inner equi-join (see join.join_tables): returns
+             select=None, other_select=None, suffix: str = "_r", *, mesh=None,
+             how: str = "inner"):
+        """Materialized equi-join (see join.join_tables): returns
         ``(rows, li, ri)`` — the joined output columns plus the matched
         row-index pairs. Device membership scans prune both sides before
         any materialization (sharded over ``mesh`` when given); null keys
-        never match."""
+        never match. ``how="left"`` keeps unmatched left rows with
+        ``ri = -1`` (mask right columns with ``ri >= 0``)."""
         from .join import join_tables
 
         return join_tables(self, on, other, other_on, select, other_select,
-                           suffix, mesh=mesh)
+                           suffix, mesh=mesh, how=how)
 
     def anti_join(self, name: str, other, other_name: str | None = None):
         """Bitmap of rows whose non-null ``name`` value has NO match in the

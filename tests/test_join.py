@@ -200,3 +200,50 @@ def test_join_nul_byte_string_keys():
     lc = strings.encode_strings(lv, name="l")
     rc = strings.encode_strings(rv, name="r")
     check(lc, rc, lv, rv)
+
+
+def test_left_outer_join_vs_pandas():
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(200)
+    nl, nr = GROUP + 11, GROUP // 2 + 7
+    lv = rng.integers(0, 300, nl, dtype=np.int64).astype(np.int32)
+    rv = rng.integers(150, 450, nr, dtype=np.int64).astype(np.int32)
+    li, ri = join_indices(gt.encode(lv, "nbit", name="l"),
+                          gt.encode(rv, "nbit", name="r"), how="left")
+    m = pd.DataFrame({"k": lv, "li": np.arange(nl)}).merge(
+        pd.DataFrame({"k": rv, "ri": np.arange(nr)}), on="k", how="left")
+    want_ri = m["ri"].fillna(-1).astype(np.int64)
+    assert sorted(zip(li.tolist(), ri.tolist())) == sorted(
+        zip(m["li"].tolist(), want_ri.tolist()))
+    # every left row appears at least once; output is li-ordered
+    assert np.array_equal(np.unique(li), np.arange(nl))
+    assert (np.diff(li) >= 0).all()
+
+
+def test_left_join_nullable_left_keys_kept():
+    rng = np.random.default_rng(201)
+    n = GROUP + 5
+    lv = rng.integers(0, 40, n, dtype=np.int64).astype(np.int32)
+    lm = rng.random(n) >= 0.2
+    lc = gt.encode(lv, "nbit", name="l", valid=lm)
+    rc = gt.encode(np.arange(20, dtype=np.int32), "raw", name="r")
+    li, ri = join_indices(lc, rc, how="left")
+    # null-key rows survive as unmatched
+    null_rows = np.flatnonzero(~lm)
+    assert set(null_rows) <= set(li[ri == -1])
+    matched = lm & (lv < 20)
+    assert set(li[ri >= 0]) == set(np.flatnonzero(matched))
+
+
+def test_left_join_tables_placeholder_mask():
+    rng = np.random.default_rng(202)
+    nl, nr = 3000, 1000
+    lk = rng.integers(0, 2000, nl, dtype=np.int64).astype(np.int32)
+    rk = np.arange(nr, dtype=np.int32)
+    rx = (rk * 3).astype(np.int32)
+    tl = Table([gt.encode(lk, "raw", name="k")])
+    tr = Table([gt.encode(rk, "raw", name="k"), gt.encode(rx, "raw", name="x")])
+    rows, li, ri = tl.join("k", tr, how="left")
+    matched = ri >= 0
+    np.testing.assert_array_equal(rows["x"][matched], lk[li][matched] * 3)
+    assert (lk[li][~matched] >= nr).all()
