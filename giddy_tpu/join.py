@@ -113,10 +113,12 @@ def join_indices(left: EncodedColumn, right: EncodedColumn, *, mesh=None,
     sharded over the device mesh (collective-free scans).
 
     ``how="left"`` additionally emits every unmatched left row (including
-    null-key rows — SQL LEFT OUTER JOIN) once, with ``ri = -1``.
+    null-key rows — SQL LEFT OUTER JOIN) once, with ``ri = -1``;
+    ``how="outer"`` (FULL OUTER) also appends every unmatched right row
+    once, with ``li = -1``, after the left-major block.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be 'inner', 'left' or 'outer', got {how!r}")
     li, ri = _inner_indices(left, right, mesh)
     if how == "inner":
         return li, ri
@@ -124,7 +126,12 @@ def join_indices(left: EncodedColumn, right: EncodedColumn, *, mesh=None,
     li_all = np.concatenate([li, unmatched])
     ri_all = np.concatenate([ri, np.full(unmatched.size, -1, np.int64)])
     order = np.argsort(li_all, kind="stable")
-    return li_all[order], ri_all[order]
+    li_all, ri_all = li_all[order], ri_all[order]
+    if how == "outer":
+        r_un = np.setdiff1d(np.arange(right.n, dtype=np.int64), ri)
+        li_all = np.concatenate([li_all, np.full(r_un.size, -1, np.int64)])
+        ri_all = np.concatenate([ri_all, r_un])
+    return li_all, ri_all
 
 
 def _inner_indices(left: EncodedColumn, right: EncodedColumn, mesh):
@@ -221,8 +228,9 @@ def join_tables(left, on: str, right, right_on: str | None = None,
     if right_select is None:
         right_select = [nm for nm in right.names if nm != right_on]
     rows: dict[str, np.ndarray] = {}
+    li_take = np.where(li < 0, 0, li)
     for nm in select:
-        rows[nm] = left.take(nm, li)
+        rows[nm] = left.take(nm, li_take)
     ri_take = np.where(ri < 0, 0, ri)
     for nm in right_select:
         out = nm if nm not in rows else nm + suffix

@@ -478,14 +478,11 @@ class Table:
                 df[nm] = s
         return df
 
-    def sort_by(self, name: str, *, ascending: bool = True,
-                schemes=None) -> "Table":
-        """A new Table with rows reordered by ``name`` and every column
-        re-encoded (advisor unless ``schemes`` overrides). Sorted order is
-        what the delta/RLE/zone-map machinery feeds on, so this is the
-        standard preparation step for a scan-heavy column. Stable; null
-        keys sort last (SQL NULLS LAST); floats order by IEEE total order.
-        """
+    def _sort_key(self, name: str, ascending: bool):
+        """(key, nulls_last) arrays for one sort column — monotone int
+        keys (strdict via code order, floats total-order), descending via
+        dense-rank negation (ties keep original order), null keys zeroed
+        with a separate NULLS LAST flag."""
         from . import nulls
         from .zonemap import _keys
 
@@ -503,19 +500,35 @@ class Table:
             v = np.asarray(decode(col))
             key = _keys(v, col.dtype)
         if not ascending:
-            # dense-rank negation: dtype-safe descending; equal keys share
-            # a rank so the final lexsort stays stable on ties
             _, inv = np.unique(key, return_inverse=True)
             key = -inv.astype(np.int64)
         if nulls.is_nullable(col):
             m = nulls.valid_mask(col)
             nulls_last = ~m
-            # null rows carry the canonical FILL value in `key`; zero it so
-            # they keep their original relative order (stable NULLS LAST)
             key = np.where(m, key, np.zeros((), key.dtype))
         else:
             nulls_last = np.zeros(self.n, bool)
-        idx = np.lexsort((np.arange(self.n), key, nulls_last))
+        return key, nulls_last
+
+    def sort_by(self, names, *, ascending=True, schemes=None) -> "Table":
+        """A new Table with rows reordered by one or several columns and
+        every column re-encoded (advisor unless ``schemes`` overrides).
+        Sorted order is what the delta/RLE/zone-map machinery feeds on,
+        so this is the standard preparation step for a scan-heavy column.
+        Stable; null keys sort last per key (SQL NULLS LAST); floats
+        order by IEEE total order. ``ascending`` may be one bool or a
+        list matching ``names``."""
+        names = [names] if isinstance(names, str) else list(names)
+        if isinstance(ascending, bool):
+            ascending = [ascending] * len(names)
+        if len(ascending) != len(names):
+            raise ValueError("ascending must match names")
+        # lexsort: LAST key is primary; stability tiebreak is the index
+        ks = [self._sort_key(nm, asc) for nm, asc in zip(names, ascending)]
+        cols = [np.arange(self.n)]
+        for key, nl in reversed(ks):
+            cols += [key, nl]
+        idx = np.lexsort(tuple(cols))
         return self._take_table(idx, schemes)
 
     def _take_table(self, idx: np.ndarray, schemes=None) -> "Table":

@@ -247,3 +247,40 @@ def test_left_join_tables_placeholder_mask():
     matched = ri >= 0
     np.testing.assert_array_equal(rows["x"][matched], lk[li][matched] * 3)
     assert (lk[li][~matched] >= nr).all()
+
+
+def test_full_outer_join_vs_pandas():
+    pd = pytest.importorskip("pandas")
+    rng = np.random.default_rng(203)
+    nl, nr = GROUP // 2 + 9, GROUP // 2 + 17
+    lv = rng.integers(0, 200, nl, dtype=np.int64).astype(np.int32)
+    rv = rng.integers(100, 300, nr, dtype=np.int64).astype(np.int32)
+    li, ri = join_indices(gt.encode(lv, "nbit", name="l"),
+                          gt.encode(rv, "nbit", name="r"), how="outer")
+    m = pd.DataFrame({"k": lv, "li": np.arange(nl)}).merge(
+        pd.DataFrame({"k": rv, "ri": np.arange(nr)}), on="k", how="outer")
+    want = sorted(zip(m["li"].fillna(-1).astype(np.int64).tolist(),
+                      m["ri"].fillna(-1).astype(np.int64).tolist()))
+    assert sorted(zip(li.tolist(), ri.tolist())) == want
+    # every row of both sides appears
+    assert set(li[li >= 0]) == set(range(nl))
+    assert set(ri[ri >= 0]) == set(range(nr))
+
+
+def test_sort_by_multi_key():
+    from giddy_tpu.table import Table
+    from giddy_tpu import strings as st
+
+    rng = np.random.default_rng(204)
+    n = GROUP + 13
+    reg = [["e", "w"][i] for i in rng.integers(0, 2, n)]
+    amt = rng.integers(0, 50, n, dtype=np.int64).astype(np.int32)
+    t = Table([st.encode_strings(reg, name="r"), gt.encode(amt, "nbit", name="a")])
+    ts = t.sort_by(["r", "a"], ascending=[True, False])
+    got_r = ts.select(["r"])["r"].tolist()
+    got_a = ts.select(["a"])["a"]
+    order = np.lexsort((np.arange(n), -amt, np.array([x == "w" for x in reg])))
+    want_r = [reg[i] for i in order]
+    want_a = amt[order]
+    assert got_r == want_r
+    np.testing.assert_array_equal(got_a, want_a)
