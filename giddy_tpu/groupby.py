@@ -469,7 +469,9 @@ def group_reduce_multi(
         combined = combined * d + c
         dims.append(d)
         kvs.append(key_values(k))
-    uniq, inv = np.unique(combined, return_inverse=True)
+    from .util import sorted_factorize
+
+    uniq, inv = sorted_factorize(combined)
     key_col = _encode(inv.astype(np.int32), "dict")
     # null rows in any key: AND their validity into the filter bitmap
     bitmap = _and_validity(bitmap, *key_cols)

@@ -20,7 +20,9 @@ def encode(values: np.ndarray, *, name: str = "col") -> EncodedColumn:
     values = np.asarray(values)
     n = values.shape[0]
     u = dtype_to_u32(values)
-    uniq, codes = np.unique(u, return_inverse=True)
+    from ..util import sorted_factorize
+
+    uniq, codes = sorted_factorize(u)
     d = int(uniq.shape[0])
     # Pad positions must be incident to exactly one bitmap (FORMAT §1.8):
     # use the bitmap of value 0 if present, else bitmap 0.

@@ -58,7 +58,9 @@ def encode(
     as_work = dtype_to_u32 if values.dtype.kind == "f" else (lambda a: a)
     work = as_work(values)
     if dictionary is None:
-        dic_work, codes = np.unique(work, return_inverse=True)
+        from ..util import sorted_factorize
+
+        dic_work, codes = sorted_factorize(work)
     else:
         dictionary = np.asarray(dictionary, dtype=values.dtype)
         dic_work = as_work(dictionary)

@@ -31,7 +31,7 @@ import numpy as np
 
 from . import registry
 from .format import EncodedColumn
-from .util import LANES, num_groups
+from .util import LANES, num_groups, sorted_factorize
 
 STR_OPS = ("eq", "ne", "lt", "le", "gt", "ge", "startswith", "contains")
 
@@ -103,7 +103,7 @@ def encode_strings(
             arr = np.array([b""] * n, dtype=object)
         else:
             arr = fill_nulls(arr, mask)
-    dic, codes = np.unique(arr, return_inverse=True)  # bytes-lex sorted
+    dic, codes = sorted_factorize(arr)  # bytes-lex sorted (hash factorize)
     codes = codes.astype(np.int32)
     if codes_scheme == "auto":
         trials = [registry.get(s).encode(codes, name="_codes") for s in AUTO_INNER]

@@ -500,7 +500,9 @@ class Table:
             v = np.asarray(decode(col))
             key = _keys(v, col.dtype)
         if not ascending:
-            _, inv = np.unique(key, return_inverse=True)
+            from .util import sorted_factorize
+
+            _, inv = sorted_factorize(key)
             key = -inv.astype(np.int64)
         if nulls.is_nullable(col):
             m = nulls.valid_mask(col)
