@@ -219,8 +219,11 @@ def join_tables(left, on: str, right, right_on: str | None = None,
     key (which would duplicate the left key).
 
     ``how="left"``: unmatched left rows appear once with ``ri = -1``;
-    their right-column cells hold row 0's value as a placeholder — mask
-    with ``ri >= 0`` (the matched indicator) before use.
+    their right-column cells hold placeholder values — mask with
+    ``ri >= 0`` (the matched indicator) before use. ``how="outer"``
+    additionally appends unmatched right rows with ``li = -1``, whose
+    LEFT-column cells are placeholders the same way — mask those with
+    ``li >= 0``.
     """
     right_on = on if right_on is None else right_on
     li, ri = join_indices(left[on], right[right_on], mesh=mesh, how=how)
@@ -228,13 +231,21 @@ def join_tables(left, on: str, right, right_on: str | None = None,
     if right_select is None:
         right_select = [nm for nm in right.names if nm != right_on]
     rows: dict[str, np.ndarray] = {}
-    li_take = np.where(li < 0, 0, li)
     for nm in select:
-        rows[nm] = left.take(nm, li_take)
-    ri_take = np.where(ri < 0, 0, ri)
+        rows[nm] = _take_placeholder(left, nm, li)
     for nm in right_select:
         out = nm if nm not in rows else nm + suffix
         if out in rows:
             raise ValueError(f"column name collision after suffix: {out!r}")
-        rows[out] = right.take(nm, ri_take)
+        rows[out] = _take_placeholder(right, nm, ri)
     return rows, li, ri
+
+
+def _take_placeholder(tbl, nm: str, idx: np.ndarray) -> np.ndarray:
+    """Rows at ``idx`` where -1 slots (outer-join placeholders) read row 0
+    — or a zero value when the table is empty (an all-unmatched outer
+    side has no row 0 to borrow)."""
+    if tbl.n == 0:
+        e = tbl.take(nm, np.empty(0, np.int64))
+        return np.zeros(idx.shape[0], dtype=e.dtype)
+    return tbl.take(nm, np.where(idx < 0, 0, idx))

@@ -333,7 +333,9 @@ class Table:
         row-index pairs. Device membership scans prune both sides before
         any materialization (sharded over ``mesh`` when given); null keys
         never match. ``how="left"`` keeps unmatched left rows with
-        ``ri = -1`` (mask right columns with ``ri >= 0``)."""
+        ``ri = -1`` (mask right columns with ``ri >= 0``); ``how="outer"``
+        also appends unmatched right rows with ``li = -1`` (mask left
+        columns with ``li >= 0``)."""
         from .join import join_tables
 
         return join_tables(self, on, other, other_on, select, other_select,

@@ -105,16 +105,15 @@ def sorted_factorize(values: np.ndarray):
     """(sorted_unique, codes) — np.unique(return_inverse=True) semantics
     via pandas' hash-based factorize: O(n + d log d) instead of a full
     O(n log n) sort, which is ~100x faster when d << n (measured 0.5 s vs
-    96 s on a 67M-value dictionary column). Falls back to np.unique when
-    pandas is unavailable."""
+    96 s on a 67M-value dictionary column). use_na_sentinel=False keeps
+    NA-like values (NaN/None) as real dictionary entries, matching
+    np.unique exactly. Falls back to np.unique when pandas is
+    unavailable."""
     try:
         import pandas as pd
 
-        codes_u, dic_u = pd.factorize(values)
-        order = np.argsort(dic_u, kind="stable")
-        inv = np.empty(order.size, np.int32)  # d < 2**31 always (n-bounded)
-        inv[order] = np.arange(order.size, dtype=np.int32)
-        return dic_u[order], inv[codes_u]
+        codes, uniq = pd.factorize(values, sort=True, use_na_sentinel=False)
+        return uniq, codes
     except Exception:
         return np.unique(values, return_inverse=True)
 

@@ -284,3 +284,28 @@ def test_sort_by_multi_key():
     want_a = amt[order]
     assert got_r == want_r
     np.testing.assert_array_equal(got_a, want_a)
+
+
+def test_outer_join_empty_side():
+    # LEFT/OUTER against an empty side must not crash on the placeholder
+    # take (regression: row-0 clamp indexed into an n=0 column)
+    lv = np.arange(5, dtype=np.int32)
+    tl = Table([gt.encode(lv, "raw", name="k")])
+    tr = Table([gt.encode(np.empty(0, np.int32), "raw", name="k"),
+                gt.encode(np.empty(0, np.int32), "raw", name="x")])
+    rows, li, ri = tl.join("k", tr, how="left")
+    assert (ri == -1).all() and np.array_equal(li, np.arange(5))
+    np.testing.assert_array_equal(rows["k"], lv)
+    assert rows["x"].shape == (5,)
+    # outer with empty LEFT: all right rows appended with li = -1
+    rows2, li2, ri2 = tr.join("k", tl, how="outer", other_select=["k"])
+    assert (li2 == -1).all() and set(ri2.tolist()) == set(range(5))
+
+
+def test_sorted_factorize_na_handling():
+    from giddy_tpu.util import sorted_factorize
+
+    u, c = sorted_factorize(np.array([1.0, np.nan, 2.0, np.nan]))
+    nu, nc = np.unique(np.array([1.0, np.nan, 2.0, np.nan]), return_inverse=True)
+    np.testing.assert_array_equal(u, nu)
+    np.testing.assert_array_equal(c, nc)
