@@ -130,7 +130,7 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         df.replicated["values"] = st["values"]
         return df
     if scheme in ("rle", "rpe"):
-        from .kernels.rle import scatter_prep
+        from .kernels.rle import scatter_prep, tile_prep
 
         r_pad = p["r_pad"]
         key = "run_ends" if scheme == "rle" else "run_starts"
@@ -139,9 +139,13 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         if ng != ng_pad:
             bounds = np.concatenate([bounds, np.full((ng_pad - ng, r_pad), GROUP, np.int32)])
             vals = _pad_groups(vals, ng, ng_pad)
-        pre = scatter_prep(vals, bounds, positions=(scheme == "rpe"), ng_local=ng_l)
+        # single-pass tile-chain form (leading dim ng_pad: shards/slices on
+        # groups); pathologically dense runs fall back to scatter pairs
+        pre = tile_prep(vals, bounds, positions=(scheme == "rpe"))
+        if pre is None:
+            pre = scatter_prep(vals, bounds, positions=(scheme == "rpe"), ng_local=ng_l)
         df = local(dict(p), {}, repl={})
-        df.sharded = pre  # {"pos", "dv"}, both (ng_pad, r_pad)
+        df.sharded = pre
         return df
     if scheme == "bitmap":
         d = p["d"]

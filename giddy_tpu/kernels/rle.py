@@ -2,16 +2,27 @@
 
 The irregular kernel of the family (libgiddy ``run_length_encoding.cuh``,
 SURVEY.md call stack CS-4). Where the CUDA reference expands runs with a
-block-local scan + per-thread binary search, we reformulate run expansion
-as a **sparse delta problem**: scatter each run's value-jump
-(vals[r] - vals[r-1], a handful per group) onto its start position, then
-one dense per-group inclusive cumsum — the same VPU log-scan the delta
-kernel uses — reconstructs the column. The scatter touches ~R_pad values
-per 32768-element group; the cumsum runs at delta-kernel speed, so decode
-is O(1) vector work per element regardless of run lengths.
+block-local scan + per-thread binary search, we re-anchor the run tables to
+a VMEM tile width ``W`` at prep time and decode in **one Pallas pass**:
+
+- Host prep re-splits the per-GROUP run tables into per-tile tables of
+  ``w_pad`` runs each (``W`` chosen adaptively so ``w_pad`` stays small —
+  the reference's anchor idea pushed all the way down to the vreg tile).
+- The kernel reads each tile's ``(w_pad)`` run table and writes its ``(W,)``
+  output slice via a branchless select chain — ``w_pad`` full-vector
+  compare+selects replace the reference's per-thread binary search, and the
+  only HBM traffic is the run tables in and the decoded tile out (the
+  single-pass property BASELINE's >=80%-SoL target needs; the prior
+  XLA-scatter + cumsum design made ~3x decoded-bytes of traffic).
+
+Pathologically dense runs (avg run length < ~4, where RLE is a losing
+scheme anyway) fall back to the old two-pass form: scatter each run's
+value-jump onto its start position, then one dense per-group cumsum.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -20,9 +31,118 @@ from jax.experimental import pallas as pl
 from .. import registry
 from ..format import EncodedColumn
 from ..registry import plan
-from ..util import GROUP, num_groups
+from ..util import GROUP, next_power_of_2, num_groups
 from .common import block_spec, use_interpret
 from .lanes import group_cumsum
+
+# Largest per-tile run count the select chain accepts when *choosing* W
+# (compute cost = w_pad VPU ops per output element).
+CHAIN_TARGET = int(os.environ.get("GIDDY_TPU_RLE_CHAIN", 32))
+# Absolute chain ceiling at the smallest tile width before falling back to
+# the scatter+cumsum path.
+CHAIN_HARD = int(os.environ.get("GIDDY_TPU_RLE_CHAIN_HARD", 128))
+# Candidate tile widths, largest first (fewer/larger tiles = less run-table
+# re-read; w_pad(W) is monotone nondecreasing in W, so the first candidate
+# meeting CHAIN_TARGET is the largest that does).
+_W_CANDIDATES = (GROUP, 16384, 8192, 4096, 2048, 1024, 512)
+
+
+def _tile_counts(starts, valid, W: int, T: int):
+    """Runs overlapping each W-tile: (#run starts inside the tile) + 1 for
+    the run spanning in from the previous tile (0 if a run starts exactly
+    at the tile boundary)."""
+    import numpy as np
+
+    ng = starts.shape[0]
+    tidx = np.arange(ng)[:, None] * T + starts // W
+    counts = np.bincount(tidx[valid], minlength=ng * T)
+    at_bound = np.zeros(ng * T, bool)
+    at_bound[tidx[valid & (starts % W == 0)]] = True
+    return counts + ~at_bound
+
+
+def tile_prep(run_values, bounds, *, positions: bool):
+    """Host-side: per-GROUP run tables -> per-W-tile tables.
+
+    Returns ``{"vals_w": (ng, T, w_pad) uint32, "ends_w": (ng, T, w_pad)
+    int32}`` (leading dim stays ng so dist sharding / group slicing work
+    unchanged), or None when run density exceeds CHAIN_HARD even at the
+    smallest tile width (caller falls back to :func:`scatter_prep`).
+
+    ``ends_w`` are tile-relative exclusive ends in [1, W]; runs beyond the
+    tile clip to the sentinel W (never selected). ``bounds`` is the
+    container's run_ends (rle) or run_starts (rpe); both normalize to ends
+    form here, so one kernel serves both schemes.
+    """
+    import numpy as np
+
+    ng, r_pad = bounds.shape
+    vals = run_values.view(np.uint32)
+    if positions:
+        starts = bounds.astype(np.int64)
+        ends = np.concatenate(
+            [starts[:, 1:], np.full((ng, 1), GROUP, np.int64)], axis=1
+        )
+    else:
+        ends = bounds.astype(np.int64)
+        starts = np.concatenate(
+            [np.zeros((ng, 1), np.int64), ends[:, :-1]], axis=1
+        )
+    valid = starts < GROUP  # pad runs start at the GROUP sentinel
+
+    chosen = None
+    for W in _W_CANDIDATES:
+        T = GROUP // W
+        counts = _tile_counts(starts, valid, W, T)
+        w_pad = max(8, next_power_of_2(int(counts.max())))
+        chosen = (W, T, w_pad)
+        if w_pad <= CHAIN_TARGET:
+            break
+    W, T, w_pad = chosen
+    if w_pad > CHAIN_HARD:
+        return None
+
+    # First run covering each tile: lo[g,t] = #(ends <= t*W); real ends are
+    # strictly increasing, pad ends equal GROUP (bin T, inert for t < T).
+    te = -(-ends // W)  # run r is fully before tile t iff ceil(end/W) <= t
+    hist = np.zeros((ng, T + 1), np.int64)
+    np.add.at(hist, (np.arange(ng)[:, None], np.minimum(te, T)), 1)
+    lo = np.cumsum(hist, axis=1)[:, :T]
+    idx = lo[:, :, None] + np.arange(w_pad)[None, None, :]
+    np.clip(idx, 0, r_pad - 1, out=idx)
+    g_ix = np.arange(ng)[:, None, None]
+    vals_w = vals[g_ix, idx]
+    rel = ends[g_ix, idx] - (np.arange(T, dtype=np.int64) * W)[None, :, None]
+    ends_w = np.clip(rel, 0, W).astype(np.int32)
+    return {"vals_w": vals_w, "ends_w": ends_w}
+
+
+def _chain_call(rows: int, W: int, w_pad: int):
+    """One-pass run expansion: rows x (w_pad run table) -> rows x (W out)."""
+    T = GROUP // W
+    pl_plan = plan((rows // T) * GROUP, 2 * 4 * (GROUP + 2 * w_pad * T))
+    rpb = pl_plan.groups_per_block * T
+
+    def kernel(ends_ref, vals_ref, out_ref):
+        ends = ends_ref[:].astype(jnp.int32)
+        vals = vals_ref[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, (rpb, W), 1)
+        out = jnp.broadcast_to(vals[:, 0:1], (rpb, W))
+        for k in range(1, w_pad):
+            out = jnp.where(col >= ends[:, k - 1 : k], vals[:, k : k + 1], out)
+        out_ref[:] = out
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pl_plan.grid,),
+        in_specs=[
+            block_spec((rpb, w_pad), lambda i: (i, 0)),
+            block_spec((rpb, w_pad), lambda i: (i, 0)),
+        ],
+        out_specs=block_spec((rpb, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, W), jnp.uint32),
+        interpret=use_interpret(),
+    )
 
 
 def _cumsum_rows_call(ng: int):
@@ -43,7 +163,7 @@ def _cumsum_rows_call(ng: int):
 
 
 def scatter_prep(run_values: "np.ndarray", bounds: "np.ndarray", *, positions: bool, ng_local: int | None = None) -> dict:
-    """Host-side: run tables -> (pos, dv) scatter pairs.
+    """Host-side fallback form: run tables -> (pos, dv) scatter pairs.
 
     pos = shard-local flat position of each run start (padded runs land on
     the sentinel GROUP, i.e. the next group's position 0 — harmless under
@@ -70,21 +190,32 @@ def scatter_prep(run_values: "np.ndarray", bounds: "np.ndarray", *, positions: b
 
 
 def _prep(col: EncodedColumn, *, positions: bool) -> dict:
-    if "pos" in col.streams:  # already in scatter (dist/slice) form
-        return col.streams
+    if "vals_w" in col.streams or "pos" in col.streams:
+        return col.streams  # already in tile / scatter (dist/slice) form
     r_pad = col.params["r_pad"]
     ng = num_groups(col.n)
     key = "run_starts" if positions else "run_ends"
     bounds = col.streams[key].reshape(ng, r_pad)
     vals = col.streams["run_values"].reshape(ng, r_pad)
+    pre = tile_prep(vals, bounds, positions=positions)
+    if pre is not None:
+        return pre
     return scatter_prep(vals, bounds, positions=positions)
 
 
 def _build(col: EncodedColumn, *, positions: bool):
     ng = num_groups(col.n)
-    cumsum = _cumsum_rows_call(ng)
 
     def decode(streams):
+        if "vals_w" in streams:  # single-pass tile-chain path
+            vals, ends = streams["vals_w"], streams["ends_w"]
+            if vals.ndim == 3:  # (ng, T, w_pad) dist/slice layout
+                vals = vals.reshape(-1, vals.shape[-1])
+                ends = ends.reshape(-1, ends.shape[-1])
+            rows, w_pad = vals.shape
+            W = (ng * GROUP) // rows
+            return _chain_call(rows, W, w_pad)(ends, vals).reshape(ng * GROUP)
+        # fallback: sparse delta scatter + dense per-group cumsum
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)
         # flattened scatter positions are nondecreasing by construction
         # (run starts ascend within a group; padded runs land on the next
@@ -93,7 +224,7 @@ def _build(col: EncodedColumn, *, positions: bool):
         dense = dense.at[streams["pos"].astype(jnp.int32).reshape(-1)].add(
             streams["dv"].reshape(-1), mode="drop", indices_are_sorted=True
         )
-        return cumsum(dense.reshape(ng, GROUP)).reshape(ng * GROUP)
+        return _cumsum_rows_call(ng)(dense.reshape(ng, GROUP)).reshape(ng * GROUP)
 
     return decode
 
