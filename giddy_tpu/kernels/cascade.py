@@ -1,11 +1,15 @@
 """Cascade — device decoder (FORMAT.md §1.14).
 
 Decode = the inner scheme's registered Pallas decoder on the ``c_``-prefixed
-code streams, then a dictionary gather (same XLA ``take`` the plain dict
-decoder uses; the dictionary stays VMEM-resident). The inner builder is
-metadata-only, so any registered inner scheme composes without new kernel
-code — the device analog of the reference composing schemes in the caller
-(SURVEY.md §3.2 compressed-indices patching is the same pattern).
+code streams, with the dictionary gather **fused into the inner kernel**
+when the dictionary fits the VMEM LUT budget (``_lut_d_pad`` param → the
+inner builder maps its output tile through :func:`lanes.gather_lut` before
+the store) — the RLE_DICTIONARY combo decodes in one single HBM pass.
+Larger dictionaries (or the ``raw`` inner) fall back to an XLA ``take``
+after the inner decode. The inner builder is metadata-only, so any
+registered inner scheme composes without new kernel code — the device
+analog of the reference composing schemes in the caller (SURVEY.md §3.2
+compressed-indices patching is the same pattern).
 """
 
 from __future__ import annotations
@@ -15,14 +19,27 @@ import jax.numpy as jnp
 from .. import registry
 from ..format import EncodedColumn
 from ..ref.cascade import codes_column
+from ..util import round_up
+from .dict_ import _pad_table, use_lut
+from .lanes import LUT_LANE
+
+# inner schemes whose builders accept the fused ``_lut_d_pad`` stage
+_LUT_INNER = ("rle", "rpe", "delta", "nbit", "for", "dzbf")
 
 
 def build(col: EncodedColumn):
+    d = col.params["dict_size"]
     inner = codes_column(col, streams={})
+    fused = use_lut(d) and inner.scheme in _LUT_INNER
+    if fused:
+        inner.params = dict(inner.params, _lut_d_pad=round_up(d, LUT_LANE))
     inner_decode = registry.get(inner.scheme).decode_device(inner)
 
     def decode(streams):
         c_streams = {k[2:]: v for k, v in streams.items() if k.startswith("c_")}
+        if fused:
+            c_streams["_lut"], _ = _pad_table(streams["values"], d)
+            return inner_decode(c_streams)
         codes = inner_decode(c_streams)
         return jnp.take(streams["values"], codes.astype(jnp.int32), axis=0)
 

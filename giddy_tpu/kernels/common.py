@@ -45,26 +45,51 @@ def smem_spec(block_shape, index_map):
     return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.SMEM)
 
 
-def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = GROUP, extra_bytes_per_group: int = 0, out_dtype=jnp.uint32, pl_plan: Plan | None = None):
+def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = GROUP, extra_bytes_per_group: int = 0, out_dtype=jnp.uint32, pl_plan: Plan | None = None, lut_d_pad: int | None = None):
     """Build a pallas_call over row-blocked (group-major) streams.
 
     Every stream is a (ng, width) array; the grid tiles rows (groups) with
     ``groups_per_block`` rows per step. Double-buffered in+out bytes per
     group drive the plan.
+
+    ``lut_d_pad``: when set, the kernel's output tile is additionally mapped
+    through an in-VMEM dictionary gather (:func:`lanes.gather_lut`) before
+    the store — the fused dictionary stage of dict/cascade decode (SURVEY.md
+    §3.1 DICT row's shared-memory staging). The returned callable then takes
+    the (1-or-r, lut_d_pad) uint32 table as its FIRST argument; the table
+    block has a constant index, so Pallas DMAs it into VMEM once.
     """
     if pl_plan is None:
         bytes_per_group = 2 * 4 * (sum(in_widths) + out_width) + extra_bytes_per_group
+        if lut_d_pad:
+            bytes_per_group += 4 * lut_d_pad  # row-tiled table VMEM cost
         pl_plan = plan(ng * GROUP, bytes_per_group)
     r = pl_plan.groups_per_block
     in_specs = [block_spec((r, w), lambda i: (i, 0)) for w in in_widths]
-    return pl.pallas_call(
-        kernel,
+    body = kernel
+    if lut_d_pad:
+        from .lanes import gather_lut
+
+        def body(dic_ref, *refs):
+            kernel(*refs)
+            out_ref = refs[-1]
+            out_ref[:] = gather_lut(dic_ref[:], out_ref[:])
+
+        in_specs = [block_spec((r, lut_d_pad), lambda i: (0, 0))] + in_specs
+    call = pl.pallas_call(
+        body,
         grid=(pl_plan.grid,),
         in_specs=in_specs,
         out_specs=block_spec((r, out_width), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ng, out_width), out_dtype),
         interpret=use_interpret(),
     )
+    if lut_d_pad:
+        def with_table(table, *streams):
+            return call(jnp.broadcast_to(table, (r, lut_d_pad)), *streams)
+
+        return with_table
+    return call
 
 
 def to_device_streams(streams: dict[str, np.ndarray]) -> dict[str, jax.Array]:

@@ -18,16 +18,18 @@ from .lanes import group_cumsum, unpack_lanes, unzigzag
 def build(col: EncodedColumn):
     bits = col.params["bits"]
     ng = num_groups(col.n)
+    lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
 
     def kernel(in_ref, anchor_ref, out_ref):
         d = unzigzag(unpack_lanes(in_ref[:], bits))
         out_ref[:] = group_cumsum(d) + anchor_ref[:]
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
+    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1], lut_d_pad=lut)
 
     def decode(streams):
+        args = (streams["_lut"],) if lut else ()
         anchors = streams["anchors"].reshape(ng, 1)
-        return call(streams["packed"], anchors).reshape(ng * GROUP)
+        return call(*args, streams["packed"], anchors).reshape(ng * GROUP)
 
     return decode
 

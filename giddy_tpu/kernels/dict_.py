@@ -1,29 +1,70 @@
 """Dictionary — device decoder (FORMAT.md §1.4; BASELINE configs[2]).
 
-Codes unpack in the Pallas LMP kernel; the dictionary gather itself runs as
-an XLA `take` for now (libgiddy stages the dictionary in shared memory,
-``dictionary.cuh`` SURVEY.md §3.1 — the VMEM analog is automatic here since
-the dictionary is small and XLA keeps it resident). A fused Pallas
-gather-by-select path for tiny dictionaries is a planned optimization.
+Two paths, chosen by dictionary size (the analog of libgiddy staging the
+dictionary in shared memory — ``dictionary.cuh``, SURVEY.md §3.1):
+
+- d <= GIDDY_TPU_DICT_PALLAS_MAX (default 1024): **fused single pass** — the
+  LMP code unpack and the dictionary gather run in one Pallas kernel; the
+  dictionary is staged in VMEM and gathered via :func:`lanes.gather_lut`
+  (blocked 128-lane dynamic_gather + select chain). HBM traffic is exactly
+  packed codes in + decoded column out (temp = 0 — see
+  roofline.traffic_audit / giddy_tpu/selftest.py). Measured on the v5e:
+  ~50x faster than the XLA ``take`` in the same process (results/
+  dict_ab.json carries the driver-run A/B).
+- larger d: codes unpack in Pallas, then an XLA ``take`` — one extra HBM
+  round-trip of the codes column, but gather cost stays O(1) per value.
+
+Cascade reuses the same staging by passing ``_lut_d_pad`` to the inner
+scheme's builder (see kernels/cascade.py), so RLE_DICTIONARY-style decode
+is also one pass.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax.numpy as jnp
 
 from .. import registry
 from ..format import EncodedColumn
-from ..util import GROUP, LANES, num_groups
+from ..util import GROUP, LANES, num_groups, round_up
 from .common import row_blocked_call
-from .lanes import unpack_to
+from .lanes import LUT_LANE, unpack_to
+
+# Largest dictionary the fused in-kernel gather accepts; above this the
+# select chain across 128-entry blocks (d/128 gathers per value) loses to
+# the XLA take's extra HBM pass.
+DICT_PALLAS_MAX = int(os.environ.get("GIDDY_TPU_DICT_PALLAS_MAX", 1024))
+
+
+def _pad_table(values, d: int):
+    """(d,) dictionary -> (1, d_pad) uint32 VMEM table, d_pad % 128 == 0."""
+    d_pad = round_up(max(d, 1), LUT_LANE)
+    table = jnp.zeros((d_pad,), jnp.uint32).at[:d].set(values.astype(jnp.uint32))
+    return table.reshape(1, d_pad), d_pad
+
+
+def use_lut(d: int) -> bool:
+    return 0 < d <= DICT_PALLAS_MAX
 
 
 def build(col: EncodedColumn):
     bits = col.params["bits"]
+    d = col.params["dict_size"]
     ng = num_groups(col.n)
 
     def kernel(in_ref, out_ref):
         unpack_to(out_ref, in_ref[:], bits)
+
+    if use_lut(d):
+        d_pad = round_up(d, LUT_LANE)
+        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES], lut_d_pad=d_pad)
+
+        def decode(streams):
+            table, _ = _pad_table(streams["values"], d)
+            return call(table, streams["codes"]).reshape(ng * GROUP)
+
+        return decode
 
     call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES])
 

@@ -31,16 +31,18 @@ def prep(col: EncodedColumn) -> dict:
 def build(col: EncodedColumn):
     bits = col.params["bits"]
     ng = num_groups(col.n)
+    lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
 
     def kernel(in_ref, ref_ref, out_ref):
         # materialize the lane broadcast once, not per slot
         ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
         unpack_map_to(out_ref, in_ref[:], bits, lambda v, i: v + ref)
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
+    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1], lut_d_pad=lut)
 
     def decode(streams):
-        return call(streams["packed"], streams["refs_g"]).reshape(ng * GROUP)
+        args = (streams["_lut"],) if lut else ()
+        return call(*args, streams["packed"], streams["refs_g"]).reshape(ng * GROUP)
 
     return decode
 

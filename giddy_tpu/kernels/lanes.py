@@ -100,6 +100,47 @@ def unpack_fold(x: jax.Array, bits: int, fold, init):
     return acc
 
 
+LUT_LANE = 128  # Mosaic dynamic_gather width: one hardware lane-tile
+
+
+def gather_lut(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """In-kernel dictionary gather: ``out[r, j] = table[0, idx[r, j]]``.
+
+    The TPU re-think of libgiddy's shared-memory dictionary staging
+    (``dictionary.cuh``, SURVEY.md §3.1 DICT row): Mosaic's dynamic_gather
+    (``jnp.take_along_axis`` on the lane dim) is exact only *within* one
+    128-lane tile, so the table (1, d_pad) is split into d_pad/128 lane
+    blocks; each 128-lane slice of ``idx`` gathers from every block and a
+    select chain on the high index bits picks the right one. Cost per value:
+    d_pad/128 gathers+selects — O(d/128) where a naive select chain is O(d).
+    Works identically under the CPU interpreter (plain jnp semantics).
+
+    ``table``: (R, d_pad) uint32 — every row the same dictionary, d_pad a
+    multiple of 128 (entries past the real dictionary size are never
+    selected when codes are in range). Mosaic rejects an in-kernel
+    (1, 128) -> (R, 128) vector.broadcast, so the caller stages the table
+    row-tiled; with a constant block index Pallas DMAs it into VMEM once.
+    ``idx``: (R, C) uint32/int32 codes, C a multiple of 128.
+    """
+    R, C = idx.shape
+    d_pad = table.shape[-1]
+    nb = d_pad // LUT_LANE
+    if table.shape[0] != R:  # interpret-mode convenience (plain jnp semantics)
+        table = jnp.broadcast_to(table, (R, d_pad))
+    blocks = [table[:, b * LUT_LANE : (b + 1) * LUT_LANE] for b in range(nb)]
+    idx = idx.astype(jnp.int32)
+    outs = []
+    for j in range(C // LUT_LANE):
+        ij = idx[:, j * LUT_LANE : (j + 1) * LUT_LANE]
+        low = ij & (LUT_LANE - 1)
+        r = jnp.take_along_axis(blocks[0], low, axis=1)
+        for b in range(1, nb):
+            g = jnp.take_along_axis(blocks[b], low, axis=1)
+            r = jnp.where((ij >> 7) == b, g, r)
+        outs.append(r)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def unzigzag(z: jax.Array) -> jax.Array:
     """uint32 zigzag -> uint32 two's-complement signed payload (FORMAT §0.2)."""
     return (z >> jnp.uint32(1)) ^ (-(z & jnp.uint32(1)))

@@ -17,14 +17,16 @@ from .lanes import unpack_to
 def build(col: EncodedColumn):
     bits = col.params["bits"] if col.scheme == "nbit" else 8 * col.params["width"]
     ng = num_groups(col.n)
+    lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
 
     def kernel(in_ref, out_ref):
         unpack_to(out_ref, in_ref[:], bits)
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES])
+    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES], lut_d_pad=lut)
 
     def decode(streams):
-        return call(streams["packed"]).reshape(ng * GROUP)
+        args = (streams["_lut"],) if lut else ()
+        return call(*args, streams["packed"]).reshape(ng * GROUP)
 
     return decode
 

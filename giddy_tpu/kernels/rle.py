@@ -117,25 +117,36 @@ def tile_prep(run_values, bounds, *, positions: bool):
     return {"vals_w": vals_w, "ends_w": ends_w}
 
 
-def _chain_call(rows: int, W: int, w_pad: int):
-    """One-pass run expansion: rows x (w_pad run table) -> rows x (W out)."""
+def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
+    """One-pass run expansion: rows x (w_pad run table) -> rows x (W out).
+
+    ``lut_d_pad``: fused cascade dictionary stage — the expanded tile is
+    mapped through an in-VMEM gather before the store (table is the
+    returned callable's first argument; constant block index)."""
     T = GROUP // W
-    pl_plan = plan((rows // T) * GROUP, 2 * 4 * (GROUP + 2 * w_pad * T))
+    extra = 4 * lut_d_pad if lut_d_pad else 0
+    pl_plan = plan((rows // T) * GROUP, 2 * 4 * (GROUP + 2 * w_pad * T) + extra)
     rpb = pl_plan.groups_per_block * T
 
-    def kernel(ends_ref, vals_ref, out_ref):
+    def kernel(*refs):
+        ends_ref, vals_ref, out_ref = refs[-3], refs[-2], refs[-1]
         ends = ends_ref[:].astype(jnp.int32)
         vals = vals_ref[:]
         col = jax.lax.broadcasted_iota(jnp.int32, (rpb, W), 1)
         out = jnp.broadcast_to(vals[:, 0:1], (rpb, W))
         for k in range(1, w_pad):
             out = jnp.where(col >= ends[:, k - 1 : k], vals[:, k : k + 1], out)
+        if lut_d_pad:
+            from .lanes import gather_lut
+
+            out = gather_lut(refs[0][:], out)
         out_ref[:] = out
 
-    return pl.pallas_call(
+    lut_specs = [block_spec((rpb, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
+    call = pl.pallas_call(
         kernel,
         grid=(pl_plan.grid,),
-        in_specs=[
+        in_specs=lut_specs + [
             block_spec((rpb, w_pad), lambda i: (i, 0)),
             block_spec((rpb, w_pad), lambda i: (i, 0)),
         ],
@@ -143,23 +154,36 @@ def _chain_call(rows: int, W: int, w_pad: int):
         out_shape=jax.ShapeDtypeStruct((rows, W), jnp.uint32),
         interpret=use_interpret(),
     )
+    if lut_d_pad:
+        return lambda table, *a: call(jnp.broadcast_to(table, (rpb, lut_d_pad)), *a)
+    return call
 
 
-def _cumsum_rows_call(ng: int):
-    pl_plan = plan(ng * GROUP, 2 * 4 * (GROUP + GROUP))
+def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None):
+    extra = 4 * lut_d_pad if lut_d_pad else 0
+    pl_plan = plan(ng * GROUP, 2 * 4 * (GROUP + GROUP) + extra)
     r = pl_plan.groups_per_block
 
-    def kernel(in_ref, out_ref):
-        out_ref[:] = group_cumsum(in_ref[:])
+    def kernel(*refs):
+        out = group_cumsum(refs[-2][:])
+        if lut_d_pad:
+            from .lanes import gather_lut
 
-    return pl.pallas_call(
+            out = gather_lut(refs[0][:], out)
+        refs[-1][:] = out
+
+    lut_specs = [block_spec((r, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
+    call = pl.pallas_call(
         kernel,
         grid=(pl_plan.grid,),
-        in_specs=[block_spec((r, GROUP), lambda i: (i, 0))],
+        in_specs=lut_specs + [block_spec((r, GROUP), lambda i: (i, 0))],
         out_specs=block_spec((r, GROUP), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ng, GROUP), jnp.uint32),
         interpret=use_interpret(),
     )
+    if lut_d_pad:
+        return lambda table, *a: call(jnp.broadcast_to(table, (r, lut_d_pad)), *a)
+    return call
 
 
 def scatter_prep(run_values: "np.ndarray", bounds: "np.ndarray", *, positions: bool, ng_local: int | None = None) -> dict:
@@ -205,8 +229,10 @@ def _prep(col: EncodedColumn, *, positions: bool) -> dict:
 
 def _build(col: EncodedColumn, *, positions: bool):
     ng = num_groups(col.n)
+    lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
 
     def decode(streams):
+        args = (streams["_lut"],) if lut else ()
         if "vals_w" in streams:  # single-pass tile-chain path
             vals, ends = streams["vals_w"], streams["ends_w"]
             if vals.ndim == 3:  # (ng, T, w_pad) dist/slice layout
@@ -214,7 +240,7 @@ def _build(col: EncodedColumn, *, positions: bool):
                 ends = ends.reshape(-1, ends.shape[-1])
             rows, w_pad = vals.shape
             W = (ng * GROUP) // rows
-            return _chain_call(rows, W, w_pad)(ends, vals).reshape(ng * GROUP)
+            return _chain_call(rows, W, w_pad, lut)(*args, ends, vals).reshape(ng * GROUP)
         # fallback: sparse delta scatter + dense per-group cumsum
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)
         # flattened scatter positions are nondecreasing by construction
@@ -224,7 +250,7 @@ def _build(col: EncodedColumn, *, positions: bool):
         dense = dense.at[streams["pos"].astype(jnp.int32).reshape(-1)].add(
             streams["dv"].reshape(-1), mode="drop", indices_are_sorted=True
         )
-        return _cumsum_rows_call(ng)(dense.reshape(ng, GROUP)).reshape(ng * GROUP)
+        return _cumsum_rows_call(ng, lut)(*args, dense.reshape(ng, GROUP)).reshape(ng * GROUP)
 
     return decode
 

@@ -67,3 +67,45 @@ def column_roofline(col: EncodedColumn, device_kind: str | None = None) -> Roofl
         compressed_bytes=col.nbytes_compressed,
         hbm_bw=chip_bw(device_kind),
     )
+
+
+def traffic_audit(col: EncodedColumn) -> dict:
+    """Structural SoL evidence: bytes-touched of the *compiled* decoder.
+
+    Wall-clock on the axon tunnel is non-physical (SURVEY.md §8.3a), but the
+    compiled program's memory analysis is exact: a single-pass decoder must
+    show ``temp == 0`` — every byte of traffic is either a staged input
+    stream or the decoded output. ``traffic = args + out + 2*temp`` (a temp
+    buffer is written once and read once); ``ratio = traffic / (args + out)``
+    is 1.0 for a perfect single-pass program and the machine-checked analog
+    of the >=80%-SoL BASELINE target (a ratio r caps physical SoL at 1/r).
+
+    On the CPU backend the Pallas *interpreter* itself allocates roughly one
+    output-sized temp per kernel, so ratios there carry that artifact; the
+    ``interpreted`` flag says which regime produced the numbers. The
+    authoritative run is the TPU selftest (giddy_tpu/selftest.py), recorded
+    by the driver bench each round.
+    """
+    from . import api
+    from .kernels.common import use_interpret
+
+    fn = api.get_decoder(col)
+    streams = api.device_streams(col)
+    ma = fn.lower(streams).compile().memory_analysis()
+    args = int(ma.argument_size_in_bytes)
+    out = int(ma.output_size_in_bytes)
+    temp = int(ma.temp_size_in_bytes)
+    traffic = args + out + 2 * temp
+    return {
+        "scheme": col.scheme,
+        "n": col.n,
+        "args_bytes": args,
+        "out_bytes": out,
+        "temp_bytes": temp,
+        "traffic_bytes": traffic,
+        "ideal_bytes": args + out,
+        "ratio": traffic / max(args + out, 1),
+        "compressed_bytes": col.nbytes_compressed,
+        "decoded_bytes": col.nbytes_decoded,
+        "interpreted": bool(use_interpret()),
+    }
