@@ -48,8 +48,9 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
         return (v % (2 ** (8 * (mag + 1)))).astype(np.uint32).view(np.int32)
     if scheme == "patched":
         v = rng.integers(0, 255, n, dtype=np.int64).astype(np.int32)
-        out_idx = rng.choice(n, max(1, n // 100), replace=False)
-        v[out_idx] = rng.integers(2**20, 2**30, out_idx.shape[0])
+        if n:
+            out_idx = rng.choice(n, max(1, n // 100), replace=False)
+            v[out_idx] = rng.integers(2**20, 2**30, out_idx.shape[0])
         return v
     if scheme == "raw":
         return rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64).astype(np.int32)

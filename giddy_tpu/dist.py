@@ -152,11 +152,20 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         bitmaps = st["bitmaps"].reshape(d, ng, LANES)
         return local(dict(p), {"bitmaps": bitmaps}, repl={"values": st["values"]}, bitmap_axis1=True)
     if scheme == "dzbv":
-        # Plane data is not group-aligned with the column (plane k holds
-        # bytes only for elements with width > k), so each shard's plane
-        # slice is re-packed into its own LMP groups host-side; per-shard
-        # plane lengths are equalized by zero-padding (decode's rank gather
-        # never reads past the shard's real count, so padding is inert).
+        # Preferred: the single-pass group-row form (kernels/dzbv.py) —
+        # every stream is per-group, so standard group sharding applies.
+        from .kernels.dzbv import group_prep
+
+        pre = group_prep(col)
+        if pre is not None:
+            return local(dict(p), pre)
+        # Pathological group skew (PAD_CAP exceeded): fall back to the
+        # two-pass XLA decode; plane data is not group-aligned with the
+        # column (plane k holds bytes only for elements with width > k), so
+        # each shard's plane slice is re-packed into its own LMP groups
+        # host-side; per-shard plane lengths are equalized by zero-padding
+        # (decode's rank gather never reads past the shard's real count, so
+        # padding is inert).
         from .ref.lmp import lmp_pack, lmp_unpack
 
         # unpack only the ng real groups, then pad (reading ng_pad groups

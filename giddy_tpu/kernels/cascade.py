@@ -41,6 +41,8 @@ def build(col: EncodedColumn):
             c_streams["_lut"], _ = _pad_table(streams["values"], d)
             return inner_decode(c_streams)
         codes = inner_decode(c_streams)
+        if d == 0:  # empty column: nothing to gather (pad codes pass through)
+            return codes
         return jnp.take(streams["values"], codes.astype(jnp.int32), axis=0)
 
     return decode

@@ -68,6 +68,10 @@ def build(col: EncodedColumn):
 
     call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES])
 
+    if d == 0:  # empty column: no dictionary to gather from; the unpacked
+        # (all-pad) codes are the padded output, sliced to n == 0 upstream
+        return lambda streams: call(streams["codes"]).reshape(ng * GROUP)
+
     def decode(streams):
         codes = call(streams["codes"]).reshape(ng * GROUP)
         return jnp.take(streams["values"], codes.astype(jnp.int32), axis=0)

@@ -125,6 +125,14 @@ def gather_lut(table: jax.Array, idx: jax.Array) -> jax.Array:
     R, C = idx.shape
     d_pad = table.shape[-1]
     nb = d_pad // LUT_LANE
+    if R == 1:
+        # Mosaic's gather lowering rejects single-sublane operands; widen to
+        # a full sublane tile (concat: sublane broadcasts of sliced values
+        # fail layout inference) and keep row 0 (only ng==1 columns hit this)
+        return gather_lut(
+            jnp.concatenate([table[:1]] * 8, axis=0),
+            jnp.concatenate([idx] * 8, axis=0),
+        )[0:1]
     if table.shape[0] != R:  # interpret-mode convenience (plain jnp semantics)
         table = jnp.broadcast_to(table, (R, d_pad))
     blocks = [table[:, b * LUT_LANE : (b + 1) * LUT_LANE] for b in range(nb)]
@@ -139,6 +147,43 @@ def gather_lut(table: jax.Array, idx: jax.Array) -> jax.Array:
             r = jnp.where((ij >> 7) == b, g, r)
         outs.append(r)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def expand_monotone(x: jax.Array, rank: jax.Array) -> jax.Array:
+    """Monotone in-row gather: ``out[r, j] = x[r, rank[r, j]]`` for
+    nondecreasing ``rank`` with per-step increments in {0, 1} and
+    ``rank[r, 0] == 0`` (an exclusive cumsum of a 0/1 mask).
+
+    The TPU re-think of stream-compaction *inverse* (expand): Mosaic's
+    dynamic gather is exact only 128 lanes at a time, so instead every
+    destination pulls its value through a log2(width) conditional-roll
+    network — the same hardware idiom as :func:`group_cumsum`. Let
+    ``z[j] = j - rank[j]`` (the displacement; nondecreasing, steps in
+    {0,1}). Processing bits high→low, step ``b`` rolls right by ``2**b``
+    where bit ``b`` of the *destination's* z is set; monotonicity gives
+    ``z[j] - z[j - 2**b] <= 2**b``, which keeps the source's remaining
+    high bits equal to the destination's — the invariant that makes the
+    network compute ``x0[j - z[j]]`` exactly. Wrapped lanes from the roll
+    are never selected (``z[j] >= 2**b`` implies ``j >= 2**b``).
+
+    Used by dzbv plane alignment (kernels/dzbv.py) — the vreg-native
+    replacement for the reference's per-element byte addressing
+    (``discard_zero_bytes_variable.cuh``, SURVEY.md §3.1).
+    """
+    from .common import use_interpret  # deferred: avoid import cycle at init
+
+    if use_interpret():
+        return jnp.take_along_axis(x, rank.astype(jnp.int32), axis=1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    cols = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    z = col - rank.astype(jnp.int32)
+    b = 1 << ((cols - 1).bit_length() - 1)
+    while b:
+        x = jnp.where((z & b) != 0, pltpu.roll(x, b, 1), x)
+        b //= 2
+    return x
 
 
 def unzigzag(z: jax.Array) -> jax.Array:

@@ -105,6 +105,13 @@ def traffic_audit(col: EncodedColumn) -> dict:
         "traffic_bytes": traffic,
         "ideal_bytes": args + out,
         "ratio": traffic / max(args + out, 1),
+        # sol_ratio additionally charges host-prep stream inflation: the
+        # denominator is what a perfect decoder of THIS container must touch
+        # (compressed streams in + the padded output tile write, which the
+        # GROUP format mandates). >1 means extra HBM traffic somewhere —
+        # temps, prep padding, or dead stream uploads; a ratio r caps
+        # physical SoL at 1/r, so the >=80% BASELINE target needs r <= 1.25.
+        "sol_ratio": traffic / max(col.nbytes_compressed + out, 1),
         "compressed_bytes": col.nbytes_compressed,
         "decoded_bytes": col.nbytes_decoded,
         "interpreted": bool(use_interpret()),

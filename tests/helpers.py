@@ -5,4 +5,4 @@ from __future__ import annotations
 from giddy_tpu.datagen import gen_column  # noqa: F401
 from giddy_tpu.util import GROUP
 
-EDGE_SIZES = [1, 7, GROUP - 1, GROUP, GROUP + 1, 3 * GROUP + 17]
+EDGE_SIZES = [0, 1, 7, GROUP - 1, GROUP, GROUP + 1, 3 * GROUP + 17]

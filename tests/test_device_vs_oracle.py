@@ -48,6 +48,35 @@ def test_patched_compressed_device():
     np.testing.assert_array_equal(np.asarray(gt.decode(col)), v)
 
 
+@pytest.mark.parametrize("scheme", SCHEMES + ["cascade"])
+def test_device_empty_column(scheme):
+    """n=0 decodes to an empty array on the device path (SURVEY §5.2.2;
+    VERDICT r1 edge-matrix item)."""
+    rng = np.random.default_rng(0)
+    v = gen_column(scheme, 0, rng)
+    col = gt.encode(v, scheme)
+    out = np.asarray(gt.decode(col))
+    assert out.shape == (0,) and out.dtype == v.dtype
+    assert gt.decode_ref(col).shape == (0,)
+
+
+def test_device_adversarial_edges():
+    """dict size 1, single-run RLE/RPE (run length == n), and
+    all-exceptions patching — device vs oracle (SURVEY.md §5.2.2)."""
+    n = 2 * GROUP + 999
+    const = np.full(n, -7, np.int32)
+    for scheme in ("dict", "rle", "rpe"):
+        col = gt.encode(const, scheme)
+        np.testing.assert_array_equal(np.asarray(gt.decode(col)), const)
+    rng = np.random.default_rng(2)
+    spread = rng.integers(2, 2**20, n, dtype=np.int64).astype(np.int32)
+    for kind in ("naive", "compressed"):
+        col = gt.encode(spread, "patched", kind=kind, bits=1)  # forces all but
+        assert col.params["count"] >= 0.99 * n  # frame-min hits into patches
+        np.testing.assert_array_equal(np.asarray(gt.decode(col)), spread)
+        np.testing.assert_array_equal(gt.decode_ref(col), spread)
+
+
 def test_decoder_cache_reuse():
     rng = np.random.default_rng(8)
     v = gen_column("nbit", GROUP, rng)
