@@ -82,11 +82,44 @@ def device_streams(col: EncodedColumn) -> dict[str, jax.Array]:
     return to_device_streams(streams)
 
 
+def _decode_chunked(col: EncodedColumn, *, pad: bool) -> np.ndarray:
+    """Transparent big-column decode (the libgiddy ``IndexSize`` analog,
+    SURVEY.md §3.1): columns whose padded length exceeds the int32 device
+    addressing limit decode in group chunks via partial.GroupSlicer —
+    each chunk is an independent device call, results assemble on the host
+    (a >8 GiB decoded column would not fit one device buffer anyway)."""
+    from . import util
+    from .partial import GroupSlicer
+    from .util import GROUP, num_groups
+
+    if col.scheme == "wide":  # chunk each 32-bit plane, recombine on host
+        from . import wide
+
+        lo = _decode_chunked(wide._sub(col, "lo"), pad=pad)
+        hi = _decode_chunked(wide._sub(col, "hi"), pad=pad)
+        return wide._combine(lo.view(np.uint32), hi.view(np.uint32), col.dtype)
+    ng = num_groups(col.n)
+    chunk = max(1, (util.MAX_DEVICE_ELEMS // GROUP) // 2)
+    slicer = GroupSlicer(col)
+    parts = [slicer.decode(g0, min(g0 + chunk, ng)) for g0 in range(0, ng, chunk)]
+    out = np.concatenate(parts)
+    if pad:
+        out = np.pad(out, (0, ng * GROUP - col.n))
+    return out
+
+
 def decode(col: EncodedColumn, *, pad: bool = False):
     """Decode a column on the default device. Returns the logical-dtype
     array of length n (or n_pad when pad=True, avoiding the final slice).
     64-bit (``wide``) columns come back as NumPy (planes decode on-device,
-    the int64 recombine happens at the host boundary — see wide.py)."""
+    the int64 recombine happens at the host boundary — see wide.py).
+    Columns beyond the 2**31-element single-call addressing limit decode
+    transparently in group chunks (host-assembled NumPy result)."""
+    from . import util
+    from .util import GROUP, num_groups
+
+    if col.scheme != "strdict" and num_groups(col.n) * GROUP >= util.MAX_DEVICE_ELEMS:
+        return _decode_chunked(col, pad=pad)
     if col.scheme == "wide":
         from . import wide
 

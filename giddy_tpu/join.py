@@ -249,3 +249,56 @@ def _take_placeholder(tbl, nm: str, idx: np.ndarray) -> np.ndarray:
         e = tbl.take(nm, np.empty(0, np.int64))
         return np.zeros(idx.shape[0], dtype=e.dtype)
     return tbl.take(nm, np.where(idx < 0, 0, idx))
+
+
+def _take_valid(tbl, nm: str, idx: np.ndarray) -> np.ndarray:
+    """Validity of rows at ``idx``: False at -1 placeholder slots AND at
+    source rows that are themselves null (SQL null propagation)."""
+    from . import nulls
+
+    valid = idx >= 0
+    col = tbl[nm]
+    if nulls.is_nullable(col):
+        src = nulls.valid_mask(col)
+        valid = valid & src[np.where(idx < 0, 0, idx)]
+    return valid
+
+
+def join_table(left, on: str, right, right_on: str | None = None,
+               select=None, right_select=None, suffix: str = "_r", *,
+               mesh=None, how: str = "inner", schemes=None):
+    """Materialized equi-join returning an encoded :class:`~.table.Table`.
+
+    The container-native sibling of :func:`join_tables` (VERDICT r1 item
+    #9): unmatched LEFT/FULL OUTER cells become encoded NULL rows
+    (validity bitmaps, nulls.py) instead of ``-1`` indices + placeholder
+    values, and source-side nulls propagate — so the join output
+    round-trips through the container, scans null-correctly, and
+    ``to_pandas()`` surfaces NA, like any other table. The join key of a
+    FULL OUTER join is null on appended right-only rows; select the right
+    key into the output too if a coalesced key is needed.
+
+    ``schemes`` optionally pins encode schemes per output column name
+    (default: advisor auto-selection).
+    """
+    from .table import Table
+
+    right_on = on if right_on is None else right_on
+    li, ri = join_indices(left[on], right[right_on], mesh=mesh, how=how)
+    select = left.names if select is None else list(select)
+    if right_select is None:
+        right_select = [nm for nm in right.names if nm != right_on]
+    arrays: dict = {}
+
+    def put(tbl, nm: str, out: str, idx: np.ndarray) -> None:
+        if out in arrays:
+            raise ValueError(f"column name collision after suffix: {out!r}")
+        v = _take_placeholder(tbl, nm, idx)
+        valid = _take_valid(tbl, nm, idx)
+        arrays[out] = v if valid.all() else (v, valid)
+
+    for nm in select:
+        put(left, nm, nm, li)
+    for nm in right_select:
+        put(right, nm, nm if nm not in arrays else nm + suffix, ri)
+    return Table.from_arrays(arrays, schemes)

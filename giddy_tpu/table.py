@@ -341,6 +341,18 @@ class Table:
         return join_tables(self, on, other, other_on, select, other_select,
                            suffix, mesh=mesh, how=how)
 
+    def join_table(self, on: str, other: "Table", other_on: str | None = None,
+                   select=None, other_select=None, suffix: str = "_r", *,
+                   mesh=None, how: str = "inner", schemes=None) -> "Table":
+        """Like :meth:`join` but returns an encoded Table: LEFT/FULL OUTER
+        unmatched cells (and propagated source nulls) are real encoded NULL
+        rows with validity bitmaps, so the result round-trips through the
+        container and scans null-correctly (see join.join_table)."""
+        from .join import join_table
+
+        return join_table(self, on, other, other_on, select, other_select,
+                          suffix, mesh=mesh, how=how, schemes=schemes)
+
     def anti_join(self, name: str, other, other_name: str | None = None):
         """Bitmap of rows whose non-null ``name`` value has NO match in the
         other column (NOT EXISTS ... WHERE equal) — the complement of

@@ -309,3 +309,61 @@ def test_sorted_factorize_na_handling():
     nu, nc = np.unique(np.array([1.0, np.nan, 2.0, np.nan]), return_inverse=True)
     np.testing.assert_array_equal(u, nu)
     np.testing.assert_array_equal(c, nc)
+
+
+def test_join_table_encoded_nulls_left():
+    """join_table materializes LEFT OUTER unmatched cells as encoded NULL
+    rows (validity bitmaps) that round-trip the container (VERDICT r1 #9)."""
+    rng = np.random.default_rng(301)
+    nl, nr = 2500, 900
+    lk = rng.integers(0, 1800, nl, dtype=np.int64).astype(np.int32)
+    rk = np.arange(nr, dtype=np.int32)
+    rx = (rk * 3 + 1).astype(np.int32)
+    tl = Table([gt.encode(lk, "raw", name="k")])
+    tr = Table([gt.encode(rk, "raw", name="k"), gt.encode(rx, "raw", name="x")])
+    out = tl.join_table("k", tr, how="left")
+    from giddy_tpu import nulls
+
+    assert out.n == nl
+    xcol = out["x"]
+    assert nulls.is_nullable(xcol)
+    valid = nulls.valid_mask(xcol)
+    np.testing.assert_array_equal(valid, lk < nr)  # matched iff key exists
+    vals = np.asarray(gt.decode(xcol))
+    np.testing.assert_array_equal(vals[valid], lk[valid] * 3 + 1)
+    # container round-trip preserves the null story
+    import io
+
+    from giddy_tpu.format import read_container, write_container
+
+    buf = io.BytesIO()
+    write_container(list(out._cols.values()), buf)
+    cols2 = read_container(buf.getvalue())
+    x2 = [c for c in cols2 if c.name == "x"][0]
+    np.testing.assert_array_equal(nulls.valid_mask(x2), valid)
+    # null-aware aggregates work on the joined output directly
+    assert out.agg("x", "count") == int(valid.sum())
+
+
+def test_join_table_outer_and_null_propagation():
+    """FULL OUTER: left cells null on right-only rows; source nulls
+    propagate through the join."""
+    lk = np.array([1, 2, 3, 4], np.int32)
+    lv = np.array([10, 20, 30, 40], np.int32)
+    lvalid = np.array([True, False, True, True])
+    rk = np.array([3, 4, 5], np.int32)
+    tl = Table([gt.encode(lk, "raw", name="k"),
+                gt.encode(lv, "raw", name="v", valid=lvalid)])
+    tr = Table([gt.encode(rk, "raw", name="k")])
+    out = tl.join_table("k", tr, how="outer", other_select=["k"])
+    from giddy_tpu import nulls
+
+    assert out.n == 5  # 2 matched + 2 left-only + 1 right-only
+    kvalid = nulls.valid_mask(out["k"])
+    assert kvalid.sum() == 4  # left key null on the appended right-only row
+    vvalid = nulls.valid_mask(out["v"])
+    # v is null where the source was null (the k=2 row) and on the
+    # appended right-only row: 5 rows - 2 nulls = 3 valid
+    assert int(vvalid.sum()) == 3
+    df = out.to_pandas()
+    assert df["v"].isna().sum() == 2
