@@ -42,15 +42,23 @@ from .lanes import expand_monotone, group_cumsum, unpack_lanes, unpack_to
 PAD_CAP = 0.15
 
 
-def group_prep(col: EncodedColumn) -> dict | None:
+def group_prep(col: EncodedColumn, force_w4: dict | None = None) -> dict | None:
     """Re-anchor planes 1..3 per GROUP: front-compacted byte rows
     ``prow{k}: (ng, W4_k*LANES) uint32`` (packed 4 bytes/word in LMP slot
     order, so linear byte m of group g sits at slot m//LANES, lane
-    m%LANES). Returns None when padding would exceed PAD_CAP."""
+    m%LANES). Returns None when padding would exceed PAD_CAP.
+
+    ``force_w4``: {plane: w4} pins the row widths AND the plane presence
+    set (skipping the cap) — partial.GroupSlicer derives them once from
+    the whole column so every equal-size slice shares one jit
+    specialization and the cap decision is made globally."""
     plane_lens = col.params["plane_lens"]
     ng = num_groups(col.n)
     n_pad = ng * GROUP
-    present = [k for k in (1, 2, 3) if plane_lens[k] > 0]
+    if force_w4 is not None:
+        present = sorted(force_w4)
+    else:
+        present = [k for k in (1, 2, 3) if plane_lens[k] > 0]
     streams = {"widths": col.streams["widths"], "plane0": col.streams["plane0"]}
     if not present:
         return streams
@@ -62,29 +70,52 @@ def group_prep(col: EncodedColumn) -> dict | None:
     # from the skew accounting so small columns keep the single-pass path
     for k in present:
         cnt = (w >= k).reshape(ng, GROUP).sum(axis=1)
+        # the real byte count; sliced columns (partial.py) quantize
+        # plane_lens upward with zero padding, so trust the widths
+        total = int(cnt.sum())
         max_cnt = int(cnt.max())
-        w4 = max(1, cdiv(cdiv(max_cnt, LANES), 4))
+        w4 = force_w4[k] if force_w4 else max(1, cdiv(cdiv(max_cnt, LANES), 4))
+        assert max_cnt <= w4 * 4 * LANES, (k, max_cnt, w4)
         full = ng - ragged
-        total_pad += full * w4 * 4 * LANES - (plane_lens[k] - int(cnt[-1]) * ragged)
+        total_pad += full * w4 * 4 * LANES - (total - int(cnt[-1]) * ragged)
         off = np.zeros(ng, np.int64)
         np.cumsum(cnt[:-1], out=off[1:])
-        plane = lmp_unpack(col.streams[f"plane{k}"], 8, plane_lens[k])
+        plane = lmp_unpack(col.streams[f"plane{k}"], 8, total)
         mat = np.zeros(ng * GROUP, np.uint32)
         dst = (
             np.repeat(np.arange(ng, dtype=np.int64) * GROUP, cnt)
-            + np.arange(plane_lens[k], dtype=np.int64)
+            + np.arange(total, dtype=np.int64)
             - np.repeat(off, cnt)
         )
         mat[dst] = plane
         prows[f"prow{k}"] = np.ascontiguousarray(
             lmp_pack(mat, 8)[:, : w4 * LANES]
         )
-    if total_pad > PAD_CAP * (ng * GROUP * 4):
+    if force_w4 is None and total_pad > PAD_CAP * (ng * GROUP * 4):
         # cap vs the padded output write (what the kernel actually emits),
         # so ragged tails don't force tiny columns onto the fallback
         return None
     streams.update(prows)
     return streams
+
+
+def global_w4(counts: dict) -> dict | None:
+    """The slice-stable row widths for :func:`group_prep(force_w4=...)`:
+    {plane: w4} from whole-column per-group counts {plane: (ng,) array},
+    or None when the whole-column pad would exceed PAD_CAP (the slicer
+    then keeps the two-pass plane form for every slice)."""
+    w4s = {}
+    total_pad = 0
+    ng = 0
+    for k, cnt in counts.items():
+        if int(cnt.sum()) == 0:
+            continue
+        ng = cnt.shape[0]
+        w4s[k] = max(1, cdiv(cdiv(int(cnt.max()), LANES), 4))
+        total_pad += ng * w4s[k] * 4 * LANES - int(cnt.sum())
+    if ng and total_pad > PAD_CAP * (ng * GROUP * 4):
+        return None
+    return w4s
 
 
 def _prep(col: EncodedColumn) -> dict:

@@ -66,6 +66,11 @@ class GroupSlicer:
             for k in (1, 2, 3)
             if plane_lens[k]
         }
+        # whole-column prow widths so every equal-size slice shares one jit
+        # specialization (w4 from a slice's own max count is data-dependent)
+        from .kernels.dzbv import global_w4
+
+        self._dz_w4 = global_w4({k: np.diff(c) for k, c in self._dz_cum.items()})
         self._pos = self._val = None
 
     def _slice_dzbv(self, g0: int, g1: int) -> EncodedColumn:
@@ -93,7 +98,7 @@ class GroupSlicer:
                 np.concatenate([seg, np.zeros(mq - m, np.uint32)]), 8
             )
             plane_lens.append(mq)
-        return EncodedColumn(
+        sub = EncodedColumn(
             name=f"{col.name}[{g0}:{g1}]",
             scheme="dzbv",
             dtype=col.dtype,
@@ -101,6 +106,16 @@ class GroupSlicer:
             params={"plane_lens": plane_lens},
             streams=streams,
         )
+        # slices ride the single-pass group-row kernel too
+        # (GroupSlicer.decode bypasses prep hooks, so the re-layout happens
+        # here); row widths are pinned from whole-column statistics so
+        # equal-size chunks share one jit specialization, and the PAD_CAP
+        # decision was made globally in _init_dzbv
+        if self._dz_w4 is not None:
+            from .kernels.dzbv import group_prep
+
+            sub.streams = group_prep(sub, force_w4=self._dz_w4)
+        return sub
 
     def _decode_patches_once(self):
         ps, pp = self.df.patch_streams, self.df.patch_params

@@ -57,6 +57,18 @@ def main() -> None:
             np.asarray(decode_sharded(col)), gt.decode_ref(col), err_msg=f"ragged-{scheme}"
         )
     print("[dist] ragged: ok", flush=True)
+    # dzbv skew fallback: a sorted column concentrates wide bytes in late
+    # groups, pushing group-row prep past PAD_CAP — the sharded path must
+    # take the per-shard plane-repack (XLA two-pass) form and stay exact
+    vs = np.sort(gen_column("dzbv", 12 * GROUP, rng).view(np.uint32)).view(np.int32)
+    cols = gt.encode(vs, "dzbv")
+    from giddy_tpu.kernels.dzbv import group_prep
+
+    assert group_prep(cols) is None, "skew column unexpectedly within PAD_CAP"
+    np.testing.assert_array_equal(
+        np.asarray(decode_sharded(cols)), gt.decode_ref(cols), err_msg="dzbv-skew"
+    )
+    print("[dist] dzbv-skew-fallback: ok", flush=True)
     # output must stay sharded (no implicit gather)
     col = gt.encode(gen_column("nbit", 8 * GROUP, rng), "nbit")
     fn, args = build_sharded_decoder(col, default_mesh())
