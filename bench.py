@@ -120,15 +120,21 @@ def bench_mixed(n: int, iters: int, rng) -> dict:
 
 
 def bench_dist(n: int, iters: int, rng) -> dict:
-    """Sharded decode of a mixed scheme set over ALL local devices (the
-    scaling-efficiency measurement unit; on the real chip's 1-device mesh
-    this validates the sharded path's overhead, on the virtual CPU mesh the
-    sweep driver runs it at 1/2/4/8 devices — see --dist-sweep)."""
+    """Sharded decode of a mixed scheme set over ALL local devices.
+
+    ``n`` is per-shard work (weak scaling): decode is collective-free data
+    parallelism, so the honest efficiency statement is GB/s per shard at
+    constant shard size — strong scaling at small n measures dispatch
+    overhead, not the decode. Efficiency vs 1 shard still uses the linear
+    formula GBps_nd / (nd * GBps_1). On the real chip's 1-device mesh this
+    validates the sharded path's overhead; the virtual CPU mesh sweep runs
+    it at 1/2/4/8 devices (--dist-sweep)."""
     from giddy_tpu.dist import build_sharded_decoder, default_mesh
 
     mesh = default_mesh()
+    n_total = n * len(mesh.devices.flat)
     cols = [
-        gt.encode(gen_column(s, n // 4, rng), s, name=f"dist_{s}")
+        gt.encode(gen_column(s, n_total // 4, rng), s, name=f"dist_{s}")
         for s in ("nbit", "delta", "dict", "rle")
     ]
     built = [build_sharded_decoder(c, mesh) for c in cols]
@@ -180,7 +186,8 @@ def _dist_sweep(args, outdir: pathlib.Path) -> dict:
     base = sweep["1"]["decode_GBps"]
     eff = {k: round(v["decode_GBps"] / (int(k) * base), 3) for k, v in sweep.items()}
     result = {
-        "n": 1 << args.dist_n,
+        "n_per_shard": 1 << args.dist_n,
+        "scaling": "weak (fixed work per shard; eff = GBps_nd / (nd * GBps_1))",
         "cpu_mesh_sweep": sweep,
         "cpu_mesh_efficiency": eff,
         "note": "CPU-mesh points exercise the real shard_map decode path; "
@@ -241,8 +248,9 @@ def main() -> None:
     ap.add_argument("--dist", action="store_true", help="also run sharded decode over local devices")
     ap.add_argument("--dist-sweep", action="store_true",
                     help="scaling-efficiency table over 1/2/4/8-device virtual CPU meshes")
-    ap.add_argument("--dist-n", type=int, default=22,
-                    help="log2 elements for the dist sweep (CPU interpret mode is slow)")
+    ap.add_argument("--dist-n", type=int, default=20,
+                    help="log2 elements PER SHARD for dist/sweep (weak scaling; "
+                         "CPU interpret mode is slow)")
     ap.add_argument("--one", default=None, help=argparse.SUPPRESS)  # internal
     ap.add_argument("--out", default=None, help=argparse.SUPPRESS)  # internal
     ap.add_argument("--no-subproc", action="store_true", help="measure in-process (debug)")

@@ -75,6 +75,27 @@ def run_selftest(n: int, seed: int = 0, audit: bool = True) -> dict:
         print(f"[selftest] {scheme:9s} "
               + ("EXACT" if entry.get("exact") else f"FAIL {entry.get('error', '')}"),
               file=sys.stderr)
+    # composite surfaces: 64-bit planes, string dictionaries, nullable
+    # columns, and the one-program mixed container — the wrappers around
+    # the core kernels that a migrating user actually calls
+    for name, fn in (
+        ("wide", _check_wide),
+        ("strdict", _check_strdict),
+        ("nullable", _check_nullable),
+        ("mixed_container", _check_mixed),
+    ):
+        entry = {}
+        try:
+            fn(n, rng)
+            entry["exact"] = True
+        except Exception as e:  # pragma: no cover - surfaced in the JSON
+            entry["error"] = f"{type(e).__name__}: {e}"
+            entry["exact"] = False
+        ok = ok and entry["exact"]
+        report["schemes"][name] = entry
+        print(f"[selftest] {name:15s} "
+              + ("EXACT" if entry["exact"] else f"FAIL {entry.get('error', '')}"),
+              file=sys.stderr)
     report["pass"] = ok
     if audit and not report["interpreted"]:
         # the interpreter allocates its own temps; only compiled TPU
@@ -88,6 +109,50 @@ def run_selftest(n: int, seed: int = 0, audit: bool = True) -> dict:
         if bad:
             print(f"[selftest] traffic over {TRAFFIC_CAP}x SoL bytes: {bad}", file=sys.stderr)
     return report
+
+
+def _check_wide(n, rng):
+    import giddy_tpu as gt
+
+    v = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    out = np.asarray(gt.decode(gt.encode(v, "wide")))
+    assert (out == v).all()
+
+
+def _check_strdict(n, rng):
+    import giddy_tpu as gt
+    from giddy_tpu import strings
+
+    vocab = [f"name_{i}".encode() for i in range(97)]
+    vals = [vocab[i] for i in rng.integers(0, len(vocab), n)]
+    col = strings.encode_strings(vals, name="st")
+    out = strings.decode(col)
+    assert list(out) == vals
+
+
+def _check_nullable(n, rng):
+    import giddy_tpu as gt
+    from giddy_tpu import nulls
+
+    v = rng.integers(0, 1000, n, dtype=np.int64).astype(np.int32)
+    mask = rng.random(n) >= 0.1
+    col = gt.encode(v, "nbit", valid=mask)
+    assert nulls.null_count(col) == int((~mask).sum())
+    out = np.asarray(gt.decode(col))
+    assert (out[mask] == v[mask]).all()
+
+
+def _check_mixed(n, rng):
+    import giddy_tpu as gt
+    from giddy_tpu.datagen import gen_column
+
+    cols = [
+        gt.encode(gen_column(s, n // 2, rng), s, name=f"mix_{s}")
+        for s in ("delta", "dict", "rle", "patched")
+    ]
+    outs = gt.decode_columns(cols)
+    for c in cols:
+        assert (np.asarray(outs[c.name]) == gt.decode_ref(c)).all(), c.name
 
 
 def main(argv=None) -> int:
