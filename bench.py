@@ -40,7 +40,7 @@ REF_GBPS = {
     "cascade": 35.0,  # ~ dict gather atop an rle decode
 }
 HEADLINE = ["nbit", "for", "delta", "dict", "rle"]
-ALL = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta"]
+from giddy_tpu.datagen import CORE_SCHEMES as ALL  # single source of truth
 
 
 def _median_time(run, iters: int, batch: int = 4) -> float:
@@ -80,6 +80,7 @@ def time_prepared(col, run, scheme: str, iters: int) -> dict:
     touched = (col.nbytes_compressed + col.nbytes_decoded) / 1e9
     rf = column_roofline(col)
     return {
+        "device_kind": jax.devices()[0].device_kind,
         "decode_GBps": col.nbytes_decoded / 1e9 / t,
         "ratio": col.ratio,
         "hbm_touched_GBps": touched / t,
@@ -194,8 +195,13 @@ def _dist_sweep(args, outdir: pathlib.Path) -> dict:
                 "absolute GB/s is interpret-mode Pallas on host CPUs. Real "
                 "multi-host numbers: scripts/multihost_bench.py on a slice.",
     }
-    r1 = _spawn_one("dist", args)
-    result["tpu_local"] = r1
+    # the local-device row runs at the SAME per-shard size as the sweep
+    # points, so the persisted table is one consistent weak-scaling series
+    import copy
+
+    a1 = copy.copy(args)
+    a1.n = args.dist_n
+    result["tpu_local"] = _spawn_one("dist", a1)
     print(f"[bench] dist efficiency vs 1 shard: {eff}", file=sys.stderr)
     (outdir / "dist_sweep.json").write_text(json.dumps(result, indent=2))
     return result
@@ -297,10 +303,18 @@ def main() -> None:
     # Honesty flag: implied HBM traffic above the chip's published BW means
     # the platform's timings are not physical (SURVEY.md §8.3a — the axon
     # tunnel); the judge should read relative numbers only in that case.
+    # The device kind comes from the measurement subprocesses — the parent
+    # must NOT call jax.devices() itself (the axon chip is single-claim and
+    # the selftest subprocess still needs it).
     from giddy_tpu.roofline import chip_bw
 
+    kind = next(
+        (r["device_kind"] for r in detail["schemes"].values() if r.get("device_kind")),
+        None,
+    )
     try:
-        bw = chip_bw() / 1e9
+        bw = chip_bw(kind) if kind else (chip_bw() if args.no_subproc else 819.0)
+        bw /= 1e9
     except Exception:
         bw = 819.0
     suspect = any(

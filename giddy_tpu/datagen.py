@@ -5,6 +5,15 @@ from __future__ import annotations
 
 import numpy as np
 
+# The core single-column scheme matrix (SURVEY.md §3.1–3.2) — the single
+# source of truth for "every scheme" iteration in bench.py,
+# giddy_tpu/selftest.py and tests/test_roofline.py (hand-duplicated lists
+# drift: a new scheme would silently escape the hardware selftest).
+CORE_SCHEMES = [
+    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap",
+    "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta",
+]
+
 
 def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = False) -> np.ndarray:
     """Data a given scheme compresses well (or, hard=True, adversarially)."""

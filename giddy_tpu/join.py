@@ -257,6 +257,8 @@ def _take_valid(tbl, nm: str, idx: np.ndarray) -> np.ndarray:
     from . import nulls
 
     valid = idx >= 0
+    if tbl.n == 0:  # all-placeholder side: no row 0 to probe
+        return valid
     col = tbl[nm]
     if nulls.is_nullable(col):
         src = nulls.valid_mask(col)

@@ -123,10 +123,22 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
     ``lut_d_pad``: fused cascade dictionary stage — the expanded tile is
     mapped through an in-VMEM gather before the store (table is the
     returned callable's first argument; constant block index)."""
-    T = GROUP // W
-    extra = 4 * lut_d_pad if lut_d_pad else 0
-    pl_plan = plan((rows // T) * GROUP, 2 * 4 * (GROUP + 2 * w_pad * T) + extra)
-    rpb = pl_plan.groups_per_block * T
+    from ..registry import _VMEM_BUDGET
+    from ..util import cdiv, next_power_of_2
+
+    # Rows (tiles) are fully independent — each owns its run table — so
+    # this kernel blocks at ROW granularity with its own VMEM model rather
+    # than plan()'s group-granular one. Mosaic's stack allocator keeps
+    # roughly 0.4*w_pad live (rpb, W) intermediates for the unrolled select
+    # chain (measured: 24.8 MiB scoped at w_pad=64, rpb=512, W=512), so the
+    # per-row footprint scales with w_pad; under-accounting this OOM'd the
+    # hardware compile for w_pad > 32 while the CPU interpreter sailed on.
+    per_row = (6 + w_pad // 2) * W * 4 + 2 * w_pad * 4 * 2
+    if lut_d_pad:
+        per_row += 4 * lut_d_pad
+    rpb = max(8, next_power_of_2(max(_VMEM_BUDGET // per_row, 1) + 1) // 2)
+    rpb = rows if rows < 8 else min(rpb, rows)
+    grid = cdiv(rows, rpb)
 
     def kernel(*refs):
         ends_ref, vals_ref, out_ref = refs[-3], refs[-2], refs[-1]
@@ -145,7 +157,7 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
     lut_specs = [block_spec((rpb, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
     call = pl.pallas_call(
         kernel,
-        grid=(pl_plan.grid,),
+        grid=(grid,),
         in_specs=lut_specs + [
             block_spec((rpb, w_pad), lambda i: (i, 0)),
             block_spec((rpb, w_pad), lambda i: (i, 0)),

@@ -24,11 +24,7 @@ import time
 
 import numpy as np
 
-# Core scheme matrix (SURVEY.md §3.1–3.2) + the beyond-parity schemes.
-SCHEMES = [
-    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap",
-    "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta",
-]
+from giddy_tpu.datagen import CORE_SCHEMES as SCHEMES  # single source of truth
 # Structural single-pass ceiling: traffic / (compressed + decoded) must
 # stay near 1.0 on TPU (a ratio r caps physical SoL at 1/r; BASELINE's
 # >=80% target needs r <= 1.25 — assert tighter).
@@ -83,6 +79,7 @@ def run_selftest(n: int, seed: int = 0, audit: bool = True) -> dict:
         ("strdict", _check_strdict),
         ("nullable", _check_nullable),
         ("mixed_container", _check_mixed),
+        ("rle_dense", _check_rle_dense),
     ):
         entry = {}
         try:
@@ -96,6 +93,20 @@ def run_selftest(n: int, seed: int = 0, audit: bool = True) -> dict:
         print(f"[selftest] {name:15s} "
               + ("EXACT" if entry["exact"] else f"FAIL {entry.get('error', '')}"),
               file=sys.stderr)
+    # drift guard: every registered device-decodable scheme must be covered
+    # here (core matrix or a composite check) — a new scheme that escapes
+    # the hardware selftest defeats its purpose
+    from giddy_tpu import registry
+
+    covered = set(SCHEMES) | {"wide", "strdict"}
+    uncovered = [
+        s for s in registry.schemes()
+        if registry.get(s).decode_device is not None and s not in covered
+    ]
+    if uncovered:
+        report["uncovered_schemes"] = uncovered
+        print(f"[selftest] UNCOVERED registered schemes: {uncovered}", file=sys.stderr)
+        ok = False
     report["pass"] = ok
     if audit and not report["interpreted"]:
         # the interpreter allocates its own temps; only compiled TPU
@@ -153,6 +164,24 @@ def _check_mixed(n, rng):
     outs = gt.decode_columns(cols)
     for c in cols:
         assert (np.asarray(outs[c.name]) == gt.decode_ref(c)).all(), c.name
+
+
+def _check_rle_dense(n, rng):
+    """Mid-density runs (length ~4-12) push the tile-chain kernel to its
+    largest w_pad — the regime where under-accounted VMEM once OOM'd the
+    Mosaic compile on hardware (invisible to the CPU interpreter), incl.
+    the fused cascade(rle) dictionary staging."""
+    import giddy_tpu as gt
+
+    for rl in (5, 12):
+        v = (np.arange(n, dtype=np.int64) // rl).astype(np.int32) % 50000
+        out = np.asarray(gt.decode(gt.encode(v, "rle")))
+        assert (out == v).all(), f"rle run-length {rl}"
+    base = (np.arange(n // 8, dtype=np.int64) % 900).astype(np.int32)
+    v = np.repeat(base, 8)[:n]
+    col = gt.encode(v, "cascade", codes_scheme="rle")
+    out = np.asarray(gt.decode(col))
+    assert (out == v).all(), "cascade(rle) fused LUT"
 
 
 def main(argv=None) -> int:
