@@ -191,9 +191,14 @@ def _dist_sweep(args, outdir: pathlib.Path) -> dict:
         "scaling": "weak (fixed work per shard; eff = GBps_nd / (nd * GBps_1))",
         "cpu_mesh_sweep": sweep,
         "cpu_mesh_efficiency": eff,
+        "host_cores": os.cpu_count(),
         "note": "CPU-mesh points exercise the real shard_map decode path; "
-                "absolute GB/s is interpret-mode Pallas on host CPUs. Real "
-                "multi-host numbers: scripts/multihost_bench.py on a slice.",
+                "absolute GB/s is interpret-mode Pallas on host CPUs, and "
+                "efficiency is bounded by host_cores (virtual devices share "
+                "them), not by the decode's communication structure — which "
+                "is collective-free (machine-checked in tests/dist_checks.py)."
+                " Real multi-host numbers: scripts/multihost_bench.py on a "
+                "slice.",
     }
     # the local-device row runs at the SAME per-shard size as the sweep
     # points, so the persisted table is one consistent weak-scaling series
