@@ -387,6 +387,7 @@ def _regression_floor(detail: dict, outdir: pathlib.Path) -> None:
         return
     geo = math.exp(sum(math.log(g) for g in gbps.values()) / len(gbps))
     rel = {s: g / geo for s, g in gbps.items()}
+    prev = {}
     if ref_path.exists():
         try:
             prev = json.loads(ref_path.read_text())
@@ -402,7 +403,8 @@ def _regression_floor(detail: dict, outdir: pathlib.Path) -> None:
             print(f"[bench] WARNING: {s} relative throughput at {f:.2f}x of the "
                   f"last recorded run (floor is 0.75x) — investigate before "
                   f"trusting this build's perf", file=sys.stderr)
-    ref_path.write_text(json.dumps(rel, indent=2))
+    # merge: a HEADLINE-only run must not truncate the all-schemes record
+    ref_path.write_text(json.dumps({**prev, **rel}, indent=2))
 
 
 if __name__ == "__main__":

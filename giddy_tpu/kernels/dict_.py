@@ -6,13 +6,18 @@ dictionary in shared memory — ``dictionary.cuh``, SURVEY.md §3.1):
 - d <= GIDDY_TPU_DICT_PALLAS_MAX (default 1024): **fused single pass** — the
   LMP code unpack and the dictionary gather run in one Pallas kernel; the
   dictionary is staged in VMEM and gathered via :func:`lanes.gather_lut`
-  (blocked 128-lane dynamic_gather + select chain). HBM traffic is exactly
-  packed codes in + decoded column out (temp = 0 — see
-  roofline.traffic_audit / giddy_tpu/selftest.py). Measured on the v5e:
-  ~50x faster than the XLA ``take`` in the same process (results/
-  dict_ab.json carries the driver-run A/B).
-- larger d: codes unpack in Pallas, then an XLA ``take`` — one extra HBM
-  round-trip of the codes column, but gather cost stays O(1) per value.
+  (blocked 128-lane dynamic_gather + select chain). A/B on the v5e
+  (scripts/dict_ab.py -> results/dict_ab.json): the fused path shows
+  ``temp_bytes == 0`` and traffic ratio 1.0 at every dictionary size
+  tested (64..4096, bit-exact), while the XLA ``take`` pays at least one
+  extra decoded-bytes HBM pass (ratio ~2.5x, ballooning to ~28x at tiny d
+  where XLA's gather lowering goes pathological). Wall-clock on the local
+  tunnel is dispatch-bound, so the structural columns are the evidence.
+- larger d: codes unpack in Pallas, then an XLA ``take``. The fused chain
+  also works (and stays single-pass) at d = 4096, but its Mosaic compile
+  time grows with d_pad/128 unrolled gather blocks — the threshold trades
+  first-call latency against the take's extra pass for rare big
+  dictionaries; tune via GIDDY_TPU_DICT_PALLAS_MAX.
 
 Cascade reuses the same staging by passing ``_lut_d_pad`` to the inner
 scheme's builder (see kernels/cascade.py), so RLE_DICTIONARY-style decode

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""A/B the dictionary decode paths (VERDICT r1 item #2): fused in-kernel
+VMEM LUT (gather_lut) vs XLA take, across dictionary sizes.
+
+Runs each variant in a fresh subprocess (GIDDY_TPU_DICT_PALLAS_MAX is read
+at import). Wall-clock on the axon tunnel is dispatch-bound, so the
+decisive column is the structural one: the fused path must show
+temp_bytes == 0 (single pass) while the take path pays an extra decoded-
+bytes round-trip. Writes results/dict_ab.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _one(d: int, pallas_max: int) -> dict:
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {str(REPO)!r})
+import numpy as np, jax
+import giddy_tpu as gt
+from giddy_tpu.roofline import traffic_audit
+
+rng = np.random.default_rng(0)
+n = 1 << 24
+vocab = rng.integers(-(2**31), 2**31 - 1, {d}, dtype=np.int64).astype(np.int32)
+v = vocab[rng.integers(0, {d}, n)]
+col = gt.encode(v, "dict")
+assert col.params["dict_size"] <= {d}
+fn = gt.get_decoder(col)
+streams = gt.api.device_streams(col)
+jax.block_until_ready(streams)
+jax.block_until_ready(fn(streams))
+ts = []
+for _ in range(8):
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = fn(streams)
+    jax.block_until_ready(out)
+    ts.append((time.perf_counter() - t0) / 4)
+ts.sort()
+a = traffic_audit(col)
+ref = gt.decode_ref(col)
+exact = bool((np.asarray(gt.decode(col)) == ref).all())
+print(json.dumps({{"exact": exact, "time_us": ts[len(ts)//2] * 1e6,
+                   "temp_bytes": a["temp_bytes"], "sol_ratio": a["sol_ratio"]}}))
+"""
+    env = dict(os.environ, GIDDY_TPU_DICT_PALLAS_MAX=str(pallas_max))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1200, env=env)
+    if out.returncode != 0:
+        return {"error": out.stderr[-500:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    results = {}
+    for d in (64, 512, 1024, 4096):
+        results[str(d)] = {
+            "fused_lut": _one(d, 1 << 20),
+            "xla_take": _one(d, 0),
+        }
+        print(d, json.dumps(results[str(d)]), file=sys.stderr)
+    results["note"] = (
+        "wall-clock is dispatch-bound on the axon tunnel (treat time_us as "
+        "noisy); the structural column is temp_bytes/sol_ratio: the fused "
+        "LUT is single-pass (temp 0), the XLA take pays an extra decoded-"
+        "bytes HBM round-trip. Default threshold GIDDY_TPU_DICT_PALLAS_MAX="
+        "1024 keeps the select-chain cost (d/128 gathers per value) below "
+        "the take's extra pass."
+    )
+    out = REPO / "results" / "dict_ab.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
