@@ -297,6 +297,8 @@ def _minmax(col: EncodedColumn, agg: str):
     # except when every row is null (no valid value exists at all)
     from . import nulls
 
+    if col.n == 0:  # same contract as the all-null case: no valid rows
+        raise ValueError(f"{agg} of an empty column")
     if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
         raise ValueError(f"{agg} of an all-null column")
     dt = np_dtype(col.dtype)

@@ -97,7 +97,27 @@ def _scan_fn(col: EncodedColumn, mesh, axis, mode: str, op: str | None):
 # Placed-argument cache: keyed by column identity (static_key alone would
 # alias distinct columns with equal shapes/params but different data) and
 # mesh configuration; holding the column keeps its id from being reused.
-_ARGS_CACHE: dict[tuple, tuple[EncodedColumn, list]] = {}
+# Bounded LRU: derived columns (key codes, wide planes) memoize on their
+# parents so repeats hit, but distinct columns must not accumulate device
+# buffers forever — the oldest placement is dropped past the cap.
+import collections as _collections
+
+_ARGS_CACHE: "dict[tuple, tuple[EncodedColumn, object]]" = _collections.OrderedDict()
+_ARGS_CACHE_MAX = 64
+
+
+def _cache_put(key, value) -> None:
+    _ARGS_CACHE[key] = value
+    _ARGS_CACHE.move_to_end(key)
+    while len(_ARGS_CACHE) > _ARGS_CACHE_MAX:
+        _ARGS_CACHE.popitem(last=False)
+
+
+def _cache_get(key):
+    hit = _ARGS_CACHE.get(key)
+    if hit is not None:
+        _ARGS_CACHE.move_to_end(key)
+    return hit
 
 
 def _args(col, mesh, axis):
@@ -106,11 +126,11 @@ def _args(col, mesh, axis):
     group_reduce_sharded) re-place nothing."""
     key = (id(col), tuple(mesh.axis_names), mesh.devices.shape,
            axis if isinstance(axis, str) else tuple(axis))
-    hit = _ARGS_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None and hit[0] is col:
         return hit[1]
     _, args = build_sharded_decoder(col, mesh, axis)
-    _ARGS_CACHE[key] = (col, args)
+    _cache_put(key, (col, args))
     return args
 
 
@@ -124,7 +144,7 @@ def _valid_arg(col, mesh, axis):
         return None
     key = (id(col), "vw", tuple(mesh.axis_names), mesh.devices.shape,
            axis if isinstance(axis, str) else tuple(axis))
-    hit = _ARGS_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is not None and hit[0] is col:
         return hit[1]
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -133,7 +153,7 @@ def _valid_arg(col, mesh, axis):
     ng_pad = cdiv(ng, _nd(mesh, axis)) * _nd(mesh, axis)
     vw = _pad_groups(col.streams["valid"], ng, ng_pad)
     dev = jax.device_put(vw, NamedSharding(mesh, P(axis, None)))
-    _ARGS_CACHE[key] = (col, dev)
+    _cache_put(key, (col, dev))
     return dev
 
 
@@ -418,6 +438,8 @@ def _minmax_sharded(col, agg, mesh, axis):
     from . import nulls
     from .aggregate import _key_unmap_host, _minmax
 
+    if col.n == 0:
+        raise ValueError(f"{agg} of an empty column")
     if nulls.is_nullable(col) and nulls.count_valid(col) == 0:
         raise ValueError(f"{agg} of an all-null column")
     if col.scheme == "wide" or (

@@ -52,7 +52,17 @@ CHUNK_GROUPS = 256
 
 def _codes_device_column(keys: EncodedColumn) -> EncodedColumn:
     """An int32 column decoding to the key codes (the value gather never
-    runs — grouping only needs code identity)."""
+    runs — grouping only needs code identity). Memoized on the parent so
+    repeated scans hand the SAME object to the identity-keyed placement
+    caches (dist_query._ARGS_CACHE) instead of re-uploading streams."""
+    cached = getattr(keys, "_codes_col", None)
+    if cached is not None:
+        return cached
+    keys._codes_col = _build_codes_column(keys)
+    return keys._codes_col
+
+
+def _build_codes_column(keys: EncodedColumn) -> EncodedColumn:
     if keys.scheme == "strdict":
         from .strings import codes_column
 
@@ -471,7 +481,21 @@ def group_reduce_multi(
         kvs.append(key_values(k))
     from .util import sorted_factorize
 
-    uniq, inv = sorted_factorize(combined)
+    # factorize over rows valid in EVERY key: canonical fills can form
+    # combos that exist at no valid row, which would otherwise surface as
+    # phantom output groups with count 0 and unmapped min/max garbage
+    valid = np.ones(n, bool)
+    for k in key_cols:
+        if nulls.is_nullable(k):
+            valid &= nulls.valid_mask(k)
+    if valid.all() or not valid.any():
+        # all-valid: plain factorize; all-null: keep the degenerate
+        # zero-count groups (mirrors the single-key all-null contract)
+        uniq, inv = sorted_factorize(combined)
+    else:
+        uniq, inv_v = sorted_factorize(combined[valid])
+        inv = np.zeros(n, np.int64)  # null rows park on code 0; the
+        inv[valid] = inv_v  # validity bitmap below zeroes their weight
     key_col = _encode(inv.astype(np.int32), "dict")
     # null rows in any key: AND their validity into the filter bitmap
     bitmap = _and_validity(bitmap, *key_cols)

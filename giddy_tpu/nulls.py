@@ -116,6 +116,17 @@ def attach_valid(col: EncodedColumn, mask: np.ndarray) -> EncodedColumn:
     col.streams = dict(col.streams)
     col.streams["valid"] = pack_valid(mask)
     col.params = {**col.params, "nullable": True}
+    # invalidate per-instance device caches: a re-attached mask must not be
+    # silently shadowed by the previously-uploaded validity words (or by a
+    # sharded placement keyed on this object's identity)
+    if hasattr(col, "_valid_dev"):
+        del col._valid_dev
+    import sys
+
+    dq = sys.modules.get(__package__ + ".dist_query")
+    if dq is not None:  # only if the sharded layer is in use at all
+        for k in [k for k in dq._ARGS_CACHE if k[0] == id(col)]:
+            del dq._ARGS_CACHE[k]
     return col
 
 

@@ -422,10 +422,22 @@ def isin_bitmap(col: EncodedColumn, values) -> "jax.Array":
             return _isin_searched(col, [int(x) for x in u])
         acc = None
         for i in np.sort(ix):
-            bm = filter_bitmap(col, "eq", float(fv[i]))
+            # stage the float32 scalar itself — a Python-float round-trip
+            # would quiet signaling-NaN payloads, diverging from the raw-
+            # bitpattern staging of the searched (>8 values) path
+            bm = filter_bitmap(col, "eq", fv[i])
             acc = bm if acc is None else acc | bm
         return acc
     vals = list(dict.fromkeys(int(v) for v in np.asarray(values).reshape(-1)))
+    dt = np_dtype(col.dtype)
+    if dt.itemsize < 4 and vals:
+        # drop values the logical dtype cannot represent — identical rule
+        # to _staged_set_u32, so both set sizes give the same membership
+        # (the eq scan's mod-2^32 staging would otherwise alias e.g.
+        # 2^32-5 onto int8 -5)
+        bits = 8 * dt.itemsize
+        lo, hi = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if dt.kind == "i" else (0, (1 << bits) - 1)
+        vals = [v for v in vals if lo <= v <= hi]
     if not vals:
         return jnp.zeros((num_groups(col.n), LANES), jnp.uint32)
     if len(vals) > 8:
@@ -440,8 +452,9 @@ def _staged_set_u32(dtype: str, vals) -> np.ndarray | None:
     """Host-stage an integer value set for a 32-bit payload search: values
     masked to the payload width (narrow ints are stored zero-extended, so
     an int8 -5 is payload 0xFB; narrow dtypes first drop unrepresentable
-    values — the eq-scan path compares sign-extended and would never match
-    them; 32-bit keeps the documented mod-2^32 staging), sorted, deduped,
+    values — isin_bitmap's eq-scan path applies the identical rule, so set
+    size never changes membership; 32-bit keeps the documented mod-2^32
+    staging), sorted, deduped,
     padded to a power of two by repeating the maximum (stays sorted, so
     set sizes share compilations). None = provably empty match set."""
     dt = np_dtype(dtype)

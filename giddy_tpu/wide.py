@@ -27,8 +27,15 @@ def _split(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sub(col: EncodedColumn, plane: str) -> EncodedColumn:
+    # memoized on the parent: repeated scans must hand the SAME object to
+    # identity-keyed placement caches (dist_query._ARGS_CACHE) instead of
+    # re-uploading the plane streams every call
+    attr = f"_sub_{plane}"
+    cached = getattr(col, attr, None)
+    if cached is not None:
+        return cached
     p = col.params[f"{plane}_params"]
-    return EncodedColumn(
+    sub = EncodedColumn(
         name=f"{col.name}.{plane}",
         scheme=col.params[f"{plane}_scheme"],
         dtype="uint32",
@@ -36,6 +43,8 @@ def _sub(col: EncodedColumn, plane: str) -> EncodedColumn:
         params=p,
         streams={k[len(plane) + 1 :]: v for k, v in col.streams.items() if k.startswith(plane + "_")},
     )
+    setattr(col, attr, sub)
+    return sub
 
 
 def encode(

@@ -60,3 +60,86 @@ def test_decode_columns_cached():
     gt.decode_columns(cols)
     gt.decode_columns(cols)
     assert len(_COLUMNS_CACHE) == before + 1
+
+
+def test_minmax_empty_column_raises():
+    col = gt.encode(np.empty(0, np.int32), "nbit")
+    from giddy_tpu.aggregate import max_, min_
+
+    with pytest.raises(ValueError, match="empty"):
+        min_(col)
+    with pytest.raises(ValueError, match="empty"):
+        max_(col)
+
+
+def test_attach_valid_invalidates_device_cache():
+    from giddy_tpu import nulls
+    from giddy_tpu.query import count_where
+
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 100, GROUP).astype(np.int32)
+    m1 = rng.random(GROUP) >= 0.5
+    col = gt.encode(v, "nbit", valid=m1)
+    assert count_where(col, "ge", 0) == int(m1.sum())
+    m2 = rng.random(GROUP) >= 0.5
+    nulls.attach_valid(col, m2)  # re-attach must drop the uploaded words
+    assert count_where(col, "ge", 0) == int(m2.sum())
+
+
+def test_isin_narrow_alias_consistent_across_set_sizes():
+    """Values aliasing mod 2^32 onto a narrow dtype must not match in
+    EITHER isin path (the <=8-value eq scans once disagreed with the
+    searched path)."""
+    from giddy_tpu.query import count_bits, isin_bitmap
+
+    v = np.array([-5, 1, 2, 3] * 64, np.int8)
+    col = gt.encode(v.astype(np.int32).astype(np.int8), "raw")
+    # raw scheme needs int32? use the int8 dtype column via from_arrays style
+    col = gt.encode(v, "nbit")
+    alias = 2**32 - 5  # bit pattern of int32 -5; NOT an int8 value
+    assert count_bits(isin_bitmap(col, [alias]), v.size) == 0
+    big = [alias] + list(range(50, 59))  # >8 values: searched path
+    assert count_bits(isin_bitmap(col, big), v.size) == 0
+    assert count_bits(isin_bitmap(col, [-5]), v.size) == int((v == -5).sum())
+    assert count_bits(isin_bitmap(col, [-5] + list(range(50, 59))), v.size) == int((v == -5).sum())
+
+
+def test_group_reduce_multi_no_phantom_null_combos():
+    from giddy_tpu.groupby import group_reduce_multi
+
+    k1v = np.array([1, 1, 2, 2] * 32, np.int32)
+    k2v = np.array([7, 8, 7, 8] * 32, np.int32)
+    valid = np.ones(k1v.size, bool)
+    valid[1] = False  # row (1, 8) exists ONLY at this null row
+    k1v2 = k1v.copy()
+    k1v2[1] = 2  # make the filled combo (2, 8) real elsewhere; the null
+    # row's raw combo (2, 8) is fine, but mark k2 null at a row whose
+    # combo (1, 7) is unique to it
+    k2valid = np.ones(k2v.size, bool)
+    kv = np.array([5, 6] * 64, np.int32)
+    kv[0] = 99  # combo (99, 7) exists only at row 0, which we null out
+    kvalid = np.ones(kv.size, bool)
+    kvalid[0] = False
+    ka = gt.encode(kv, "dict", valid=kvalid)
+    kb = gt.encode(k2v, "dict")
+    r = group_reduce_multi([ka, kb], aggs=("count",))
+    keys = [tuple(int(x) for x in t) for t in r.keys]
+    assert all(c > 0 for c in r.count), (keys, r.count)
+    # the null-only combo must not appear at all
+    assert not any(k[0] == 99 for k in keys), keys
+
+
+def test_dist_args_cache_bounded_and_memoized():
+    from giddy_tpu import dist_query
+    from giddy_tpu.dist import default_mesh
+    from giddy_tpu.dist_query import group_reduce_sharded
+
+    mesh = default_mesh()
+    rng = np.random.default_rng(1)
+    keys = gt.encode(rng.integers(0, 8, 2 * GROUP).astype(np.int32), "dict")
+    group_reduce_sharded(keys, mesh=mesh)
+    size1 = len(dist_query._ARGS_CACHE)
+    for _ in range(3):  # repeats must hit the memoized codes column
+        group_reduce_sharded(keys, mesh=mesh)
+    assert len(dist_query._ARGS_CACHE) == size1
+    assert len(dist_query._ARGS_CACHE) <= dist_query._ARGS_CACHE_MAX
