@@ -12,7 +12,7 @@ from .. import registry
 from ..format import EncodedColumn
 from ..util import LANES, GROUP, num_groups
 from .common import row_blocked_call
-from .lanes import group_cumsum, unpack_lanes, unzigzag
+from .lanes import group_cumsum, scan_scratch_bytes, unpack_lanes, unzigzag
 
 
 def build(col: EncodedColumn):
@@ -24,7 +24,13 @@ def build(col: EncodedColumn):
         d = unzigzag(unpack_lanes(in_ref[:], bits))
         out_ref[:] = group_cumsum(d) + anchor_ref[:]
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1], lut_d_pad=lut)
+    call = row_blocked_call(
+        kernel,
+        ng=ng,
+        in_widths=[bits * LANES, 1],
+        extra_bytes_per_group=scan_scratch_bytes(),
+        lut_d_pad=lut,
+    )
 
     def decode(streams):
         args = (streams["_lut"],) if lut else ()

@@ -144,8 +144,11 @@ def _single_pass_call(ng: int, w4s: dict[int, int]):
     present = sorted(w4s)
     in_widths = [2 * LANES, 8 * LANES] + [w4s[k] * LANES for k in present]
     # scratch: w, masks, packed cumsum(s), per-plane bytes/z — ~8 full
-    # (r, GROUP) uint32 intermediates beyond the in/out blocks
-    scratch = (8 * 4 * GROUP) if present else 0
+    # (r, GROUP) uint32 intermediates beyond the in/out blocks, plus the
+    # in-kernel cumsum's own transients (lanes.scan_scratch_bytes)
+    from .lanes import scan_scratch_bytes
+
+    scratch = (8 * 4 * GROUP + scan_scratch_bytes()) if present else 0
 
     def kernel(widths_ref, p0_ref, *refs):
         out_ref = refs[-1]
@@ -158,18 +161,21 @@ def _single_pass_call(ng: int, w4s: dict[int, int]):
         out = unpack_lanes(p0_ref[:], 8)
         masks = {k: (w >= jnp.uint32(k)).astype(jnp.uint32) for k in present}
         # inclusive per-plane counts via at most two log-scans
+        # the masks are 0/1 and w <= 3, so the cumsums qualify for the MXU
+        # scan's cheapest form: a single unbiased int8 plane per 16-bit
+        # field (lanes._mxu_cumsum byte_planes/small contract)
         if len(present) == 1:
             k0 = present[0]
-            cs = {k0: group_cumsum(masks[k0])}
+            cs = {k0: group_cumsum(masks[k0], byte_planes=(0,), small=True)}
         else:
             a, b = present[0], present[-1]
             packed = masks[a] | (masks[b] << jnp.uint32(16))
-            cp = group_cumsum(packed)
+            cp = group_cumsum(packed, byte_planes=(0, 2), small=True)
             cs = {a: cp & jnp.uint32(0xFFFF), b: cp >> jnp.uint32(16)}
             if len(present) == 3:
                 # w = mask1 + mask2 + mask3 elementwise, so one more scan
                 # of w itself yields rank2 without a third cumsum
-                cs[2] = group_cumsum(w) - cs[1] - cs[3]
+                cs[2] = group_cumsum(w, byte_planes=(0,), small=True) - cs[1] - cs[3]
         for k in present:
             rank = cs[k] - masks[k]  # exclusive rank among selected
             x = _prow_bytes(prow_refs[k][:], w4s[k])

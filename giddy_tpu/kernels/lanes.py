@@ -11,10 +11,29 @@ XLA-level decode paths).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..util import GROUP, LANES, SLOTS
+
+
+@functools.cache
+def scan_mode() -> str:
+    """Which in-kernel cumsum implementation compiled decoders use.
+
+    - ``"mxu"`` (default): byte-plane decomposition x triangular int8
+      matmul on the MXU (:func:`_mxu_cumsum`) — moves the scan's O(log n)
+      full-width VPU work onto the otherwise-idle systolic array.
+    - ``"roll"``: the Hillis–Steele ``pltpu.roll`` log-scan
+      (:func:`_roll_cumsum`) — the round-1/2 design, kept as a fallback
+      and for A/B measurement (env ``GIDDY_TPU_SCAN=roll``).
+
+    Interpret mode (CPU tests) ignores this and uses ``jnp.cumsum``.
+    """
+    return os.environ.get("GIDDY_TPU_SCAN", "mxu")
 
 
 def unpack_lanes(x: jax.Array, bits: int) -> jax.Array:
@@ -191,51 +210,158 @@ def unzigzag(z: jax.Array) -> jax.Array:
     return (z >> jnp.uint32(1)) ^ (-(z & jnp.uint32(1)))
 
 
-def group_cumsum(x: jax.Array) -> jax.Array:
+SCAN_TILE = 128  # MXU contraction width: one hardware lane tile
+
+
+def _lane_roll(x: jax.Array, k: int) -> jax.Array:
+    """Circular right-shift along the lane (last) dim: ``pltpu.roll`` in
+    compiled Mosaic, ``jnp.roll`` anywhere a TPU primitive cannot evaluate
+    (interpret mode, CPU algorithm tests)."""
+    from .common import use_interpret  # deferred: avoid import cycle at init
+
+    if use_interpret():
+        return jnp.roll(x, k, axis=1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, k, 1)
+
+
+def _roll_cumsum(x: jax.Array) -> jax.Array:
+    """Hillis–Steele log-scan: log2(width) steps of lane-roll + mask + add
+    — the VPU counterpart of libgiddy's warp-shuffle inclusive scan
+    (``primitives/warp.cuh``, SURVEY.md §3.6), with `pltpu.roll` playing
+    the role of ``__shfl_up_sync``. ~3 full-width VPU ops per element per
+    step (45 for a GROUP row)."""
+    rows, width = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    k = 1
+    while k < width:
+        x = x + jnp.where(col >= k, _lane_roll(x, k), jnp.uint32(0))
+        k *= 2
+    return x
+
+
+def _mxu_cumsum(x: jax.Array, byte_planes: tuple[int, ...], small: bool) -> jax.Array:
+    """MXU-exact per-row inclusive cumsum, wrapping uint32.
+
+    The scan-family decoders' hot loop re-thought for the systolic array
+    (docs/DESIGN.md §3a's "known next lever", built round 3): the VPU
+    log-scan costs ~45 full-width ops/element on a GROUP row, which caps
+    scan-bearing schemes near ~38% of HBM speed-of-light on a v5e's VPU
+    alone; a 128-wide triangular matmul does the same prefix work at int8
+    MXU rate (~2x HBM speed even for 4 planes) with ~25 VPU ops left.
+
+    Exactness in uint32 wrap space, by construction:
+    - each listed byte plane b_k (value < 256, biased to int8 as b-128)
+      scans within a 128-lane tile via ``p @ L`` (L lower-triangular ones,
+      int8 x int8 -> int32): |sums| <= 128*128 fit int32 exactly; the bias
+      un-folds as ``+128*(j+1)``;
+    - planes recombine as ``sum_k 2**(8k) * t_k`` in uint32 (mod 2**32 --
+      the decomposition is exact per value, so the fold is exact mod 2**32);
+    - the 256 per-tile totals scan cross-tile with an 8-step u32 roll-scan
+      on 1/128-width data (exact trivially), then broadcast back with an
+      elementwise ``jnp.repeat`` (verified lowering in Mosaic).
+
+    ``byte_planes``: byte indices that may be nonzero in any input value —
+    the caller's static promise (delta/RLE pass all 4; dzbv's 0/1 masks
+    pass ``(0,)`` or the packed ``(0, 2)``). ``small=True`` additionally
+    promises every listed byte <= 127, skipping the bias entirely.
+
+    Bit-exactness vs ``np.cumsum`` verified on hardware for all plane
+    subsets, R in {1,3,8,16}, and multi-step grids (round-3 prototype;
+    re-proved every round by giddy_tpu.selftest).
+    """
+    rows, width = x.shape
+    nt = width // SCAN_TILE
+    y = x.reshape(rows * nt, SCAN_TILE)
+    li = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 1)
+    tri = (li <= lj).astype(jnp.int8)
+    kmax = max(byte_planes)
+    acc = None  # within-tile inclusive cumsum, planes folded, uint32
+    tot = None  # (rows, nt) per-tile totals, planes folded, uint32
+    if not small:
+        pos1 = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1) + 1
+    for k in byte_planes:
+        b = y if k == 0 else y >> jnp.uint32(8 * k)
+        if k < kmax:
+            b = b & jnp.uint32(0xFF)
+        if small:
+            p = b.astype(jnp.int32).astype(jnp.int8)
+            t = jnp.dot(p, tri, preferred_element_type=jnp.int32)
+        else:
+            p = (b.astype(jnp.int32) - 128).astype(jnp.int8)
+            t = jnp.dot(p, tri, preferred_element_type=jnp.int32) + 128 * pos1
+        c = t.astype(jnp.uint32)
+        tk = c[:, SCAN_TILE - 1 :].reshape(rows, nt)
+        if k:
+            c = c << jnp.uint32(8 * k)
+            tk = tk << jnp.uint32(8 * k)
+        acc = c if acc is None else acc + c
+        tot = tk if tot is None else tot + tk
+    # exclusive prefix of the u32 tile totals: tiny roll-scan on 1/128 width
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
+    carry = jnp.where(col >= 1, _lane_roll(tot, 1), jnp.uint32(0))
+    k = 1
+    while k < nt:
+        carry = carry + jnp.where(col >= k, _lane_roll(carry, k), jnp.uint32(0))
+        k *= 2
+    return acc.reshape(rows, width) + jnp.repeat(carry, SCAN_TILE, axis=1)
+
+
+def scan_scratch_bytes(width: int = GROUP) -> int:
+    """Per-row VMEM transient estimate for one in-kernel
+    :func:`group_cumsum` (feeds the plan()'s bytes-per-group accounting —
+    Mosaic's stack allocator keeps several full-width intermediates live,
+    and under-accounting OOMs the hardware compile while the CPU
+    interpreter sails on; see kernels/rle.py's _chain_call lesson). The
+    MXU path holds ~4 extra full-width values (reshaped copy, dot output,
+    plane fold, repeat broadcast) vs the roll-scan's ~2."""
+    return (16 if scan_mode() != "roll" else 8) * width
+
+
+def group_cumsum(
+    x: jax.Array,
+    *,
+    byte_planes: tuple[int, ...] = (0, 1, 2, 3),
+    small: bool = False,
+) -> jax.Array:
     """Per-row inclusive cumsum over the GROUP dimension, wrapping uint32.
 
     Rows are groups; columns are already in linear order, so this is the
     whole of delta reconstruction within a tile (anchors remove any
     cross-tile carry — SURVEY.md §8.1 "anchors everywhere").
 
-    Mosaic has no cumsum primitive, so inside kernels this is the classic
-    Hillis–Steele log-scan: 15 steps of lane-roll + mask + add — the VPU
-    counterpart of libgiddy's warp-shuffle inclusive scan
-    (``primitives/warp.cuh``, SURVEY.md §3.6), with `pltpu.roll` playing
-    the role of ``__shfl_up_sync``.
+    Mosaic has no cumsum primitive; compiled kernels use the MXU byte-plane
+    matmul scan by default (:func:`_mxu_cumsum` — see its contract for
+    ``byte_planes``/``small``) or the VPU roll-scan under
+    ``GIDDY_TPU_SCAN=roll``. Interpret mode is plain ``jnp.cumsum``.
     """
     from .common import use_interpret  # deferred: avoid import cycle at init
 
     if use_interpret():
         return jnp.cumsum(x, axis=1, dtype=jnp.uint32)
-    from jax.experimental.pallas import tpu as pltpu
-
-    rows = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, GROUP), 1)
-    k = 1
-    while k < GROUP:
-        shifted = pltpu.roll(x, k, 1)
-        x = x + jnp.where(col >= k, shifted, jnp.uint32(0))
-        k *= 2
-    return x
+    if scan_mode() == "roll" or x.shape[1] % SCAN_TILE:
+        return _roll_cumsum(x)
+    return _mxu_cumsum(x, byte_planes, small)
 
 
 def group_cumxor(x: jax.Array) -> jax.Array:
     """Per-row inclusive prefix-XOR over the GROUP dimension — the XOR
-    twin of :func:`group_cumsum` (same Hillis–Steele roll-scan; XOR is
-    associative with identity 0). Backbone of xordelta decode."""
+    twin of :func:`group_cumsum` (Hillis–Steele roll-scan; XOR is
+    associative with identity 0). Backbone of xordelta decode. Stays on
+    the VPU roll network in every mode: XOR is not linear over the
+    integers, so the MXU matmul decomposition does not apply."""
     from .common import use_interpret  # deferred: avoid import cycle at init
 
     if use_interpret():
         return jax.lax.associative_scan(jnp.bitwise_xor, x, axis=1)
-    from jax.experimental.pallas import tpu as pltpu
 
     rows = x.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, GROUP), 1)
     k = 1
     while k < GROUP:
-        shifted = pltpu.roll(x, k, 1)
-        x = x ^ jnp.where(col >= k, shifted, jnp.uint32(0))
+        x = x ^ jnp.where(col >= k, _lane_roll(x, k), jnp.uint32(0))
         k *= 2
     return x
 

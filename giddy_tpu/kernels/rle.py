@@ -172,8 +172,10 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
 
 
 def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None):
+    from .lanes import scan_scratch_bytes
+
     extra = 4 * lut_d_pad if lut_d_pad else 0
-    pl_plan = plan(ng * GROUP, 2 * 4 * (GROUP + GROUP) + extra)
+    pl_plan = plan(ng * GROUP, 2 * 4 * (GROUP + GROUP) + extra + scan_scratch_bytes())
     r = pl_plan.groups_per_block
 
     def kernel(*refs):
