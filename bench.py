@@ -120,6 +120,38 @@ def bench_mixed(n: int, iters: int, rng) -> dict:
     }
 
 
+def bench_narrow(n: int, iters: int, rng) -> dict:
+    """Storage-width decode (round 3): int8/int16 columns store narrow
+    in-kernel — decoded GB/s is measured against the *logical* byte count
+    (n * itemsize), so the 4x/2x write-traffic saving shows up as a
+    correspondingly lower HBM-touched figure, not inflated GB/s."""
+    from giddy_tpu import api
+
+    cols = [
+        gt.encode(gen_column("nbit", n, rng).astype(np.uint8), "nbit", name="narrow_u8"),
+        gt.encode((np.arange(n) % 20000).astype(np.int16), "delta", name="narrow_i16"),
+    ]
+    decoders = [gt.get_decoder(c, api.narrow_store_dtype(c)) for c in cols]
+    streams = [api.device_streams(c) for c in cols]
+    jax.block_until_ready(streams)
+
+    @jax.jit
+    def run(ss):
+        return [d(s) for d, s in zip(decoders, ss)]
+
+    t = _median_time(lambda: run(streams), iters)
+    decoded = sum(c.nbytes_decoded for c in cols) / 1e9
+    comp = sum(c.nbytes_compressed for c in cols) / 1e9
+    return {
+        "device_kind": jax.devices()[0].device_kind,
+        "decode_GBps": decoded / t,
+        "ratio": decoded / comp,
+        "hbm_touched_GBps": (decoded + comp) / t,
+        "time_s": t,
+        "stores": ["uint8", "uint16"],
+    }
+
+
 def bench_dist(n: int, iters: int, rng) -> dict:
     """Sharded decode of a mixed scheme set over ALL local devices.
 
@@ -222,11 +254,13 @@ def _run_one(kind: str, n: int, iters: int) -> dict:
         return bench_mixed(n, iters, rng)
     if kind == "dist":
         return bench_dist(n, iters, rng)
+    if kind == "narrow":
+        return bench_narrow(n, iters, rng)
     col, run = prepare_scheme(kind, n, rng)
     return time_prepared(col, run, kind, iters)
 
 
-def _spawn_one(kind: str, args) -> dict:
+def _spawn_one(kind: str, args, env_extra: dict | None = None) -> dict:
     """Best-of-N fresh-process trials: the axon tunnel's timings vary
     several-x between runs, so one draw is not a fair record; the fastest
     trial is the closest to the machine's capability (standard
@@ -234,18 +268,39 @@ def _spawn_one(kind: str, args) -> dict:
     import subprocess
     import tempfile
 
+    env = None
+    if env_extra:
+        env = os.environ.copy()
+        env.update(env_extra)
     best = None
     for _ in range(max(1, args.trials)):
         with tempfile.NamedTemporaryFile(suffix=".json") as tf:
             cmd = [sys.executable, os.path.abspath(__file__), "--one", kind,
                    "--n", str(args.n), "--iters", str(args.iters), "--out", tf.name]
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900, env=env)
             if proc.returncode != 0:
                 raise RuntimeError(f"bench subprocess {kind} failed:\n{proc.stderr[-2000:]}")
             r = json.loads(pathlib.Path(tf.name).read_text())
         if best is None or r.get("decode_GBps", 0) > best.get("decode_GBps", 0):
             best = r
     return best
+
+
+def _scan_ab(args, outdir: pathlib.Path) -> dict:
+    """A/B the scan-family kernels under both cumsum implementations
+    (GIDDY_TPU_SCAN=mxu vs roll — docs/DESIGN.md §3b). Local wall-clock is
+    dispatch-bound (timing_suspect), so the record is for a future real
+    machine; bit-exactness of both modes is covered by the selftest."""
+    table: dict[str, dict] = {}
+    for scheme in ("delta", "rle", "dzbv"):
+        table[scheme] = {}
+        for mode in ("mxu", "roll"):
+            r = _spawn_one(scheme, args, env_extra={"GIDDY_TPU_SCAN": mode})
+            table[scheme][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
+            print(f"[bench] scan-ab {scheme:6s} {mode:4s} {r['decode_GBps']:9.2f} GB/s",
+                  file=sys.stderr)
+    (outdir / "scan_ab.json").write_text(json.dumps(table, indent=2))
+    return table
 
 
 def main() -> None:
@@ -267,6 +322,11 @@ def main() -> None:
     ap.add_argument("--no-subproc", action="store_true", help="measure in-process (debug)")
     ap.add_argument("--no-selftest", action="store_true",
                     help="skip the device-vs-oracle selftest pass")
+    ap.add_argument("--no-narrow", action="store_true",
+                    help="skip the storage-width (int8/int16) decode measurement")
+    ap.add_argument("--scan-ab", action="store_true",
+                    help="A/B the scan kernels under GIDDY_TPU_SCAN=mxu vs roll "
+                         "(results/scan_ab.json)")
     args = ap.parse_args()
     n = 1 << args.n
     if args.one:
@@ -291,6 +351,16 @@ def main() -> None:
         detail["mixed"] = r
         print(f"[bench] {'mixed':8s} {r['decode_GBps']:9.2f} GB/s decoded  "
               f"(ratio {r['ratio']:6.2f}x, {r['time_s'] * 1e3:.3f} ms)", file=sys.stderr)
+    if not args.no_narrow:
+        r = bench_narrow(n, args.iters, rng) if args.no_subproc else _spawn_one("narrow", args)
+        detail["narrow"] = r
+        print(f"[bench] {'narrow':8s} {r['decode_GBps']:9.2f} GB/s decoded  "
+              f"(storage-width stores, ratio {r['ratio']:6.2f}x, "
+              f"{r['time_s'] * 1e3:.3f} ms)", file=sys.stderr)
+    if args.scan_ab:
+        outdir = pathlib.Path(__file__).parent / "results"
+        outdir.mkdir(exist_ok=True)
+        detail["scan_ab"] = _scan_ab(args, outdir)
     if args.dist:
         r = bench_dist(n, args.iters, rng) if args.no_subproc else _spawn_one("dist", args)
         detail["dist"] = r

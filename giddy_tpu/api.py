@@ -57,21 +57,41 @@ def decode_ref(col: EncodedColumn) -> np.ndarray:
     return registry.get(col.scheme).decode_ref(col)
 
 
-def get_decoder(col: EncodedColumn):
+def get_decoder(col: EncodedColumn, out_store=None):
     """Build (or fetch cached) the jitted device decoder for this column's
-    static configuration. Returns fn(streams_device) -> uint32[n_pad]."""
+    static configuration. Returns fn(streams_device) -> uint32[n_pad].
+
+    ``out_store`` (jnp.uint8/jnp.uint16, schemes with Codec.narrow_store):
+    the decoder stores at storage width instead — 1/4 or 1/2 the output
+    HBM traffic for int8/int16 columns. Every fused-scan caller (query/
+    aggregate/topk/dist) omits it and keeps the uint32 payload contract."""
     from .util import check_device_addressable
 
     check_device_addressable(col.n, f"device decode of {col.name!r}")
-    key = col.static_key()
+    key = (col.static_key(), out_store and np.dtype(out_store).name)
     fn = _DECODER_CACHE.get(key)
     if fn is None:
         builder = registry.get(col.scheme).decode_device
         if builder is None:
             raise NotImplementedError(f"no device decoder for {col.scheme!r}")
-        fn = jax.jit(builder(col))
+        fn = jax.jit(builder(col, out_store=out_store) if out_store else builder(col))
         _DECODER_CACHE[key] = fn
     return fn
+
+
+def narrow_store_dtype(col: EncodedColumn):
+    """The storage-width store dtype full-column decode should use for this
+    column, or None (32-bit columns; schemes without narrow_store). The
+    reference specialized kernels on the element type template-side
+    (SURVEY.md §3.1); here the jit cache key plays that role."""
+    import jax.numpy as jnp
+
+    if col.dtype not in ("int8", "uint8", "int16", "uint16"):
+        return None
+    dt = np_dtype(col.dtype)
+    if not registry.get(col.scheme).narrow_store:
+        return None
+    return jnp.uint8 if dt.itemsize == 1 else jnp.uint16
 
 
 def device_streams(col: EncodedColumn) -> dict[str, jax.Array]:
@@ -128,7 +148,7 @@ def decode(col: EncodedColumn, *, pad: bool = False):
         from . import strings
 
         return strings.decode(col)  # codes on device, string gather host-side
-    u = get_decoder(col)(device_streams(col))
+    u = get_decoder(col, narrow_store_dtype(col))(device_streams(col))
     out = _to_logical(u, col.dtype)
     return out if pad else out[: col.n]
 
@@ -146,7 +166,7 @@ def decode_columns(cols: list[EncodedColumn], *, pad: bool = False) -> dict[str,
     key = tuple(c.static_key() for c in cols)
     run = _COLUMNS_CACHE.get(key)
     if run is None:
-        decoders = [get_decoder(c) for c in cols]
+        decoders = [get_decoder(c, narrow_store_dtype(c)) for c in cols]
 
         @jax.jit
         def run(streams_list):
@@ -164,6 +184,6 @@ def decode_columns(cols: list[EncodedColumn], *, pad: bool = False) -> dict[str,
 
 def _to_logical(u: jax.Array, dtype: str) -> jax.Array:
     dt = np_dtype(dtype)
-    if dt.itemsize == 4:
-        return jax.lax.bitcast_convert_type(u, dt) if dt != np.uint32 else u
+    if u.dtype.itemsize == dt.itemsize:  # already at storage width
+        return jax.lax.bitcast_convert_type(u, dt) if u.dtype != dt else u
     return jax.lax.convert_element_type(u, dt)  # narrow: wraps = truncation

@@ -27,13 +27,19 @@ from .lanes import LUT_LANE
 _LUT_INNER = ("rle", "rpe", "delta", "nbit", "for", "dzbf")
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     d = col.params["dict_size"]
     inner = codes_column(col, streams={})
     fused = use_lut(d) and inner.scheme in _LUT_INNER
     if fused:
         inner.params = dict(inner.params, _lut_d_pad=round_up(d, LUT_LANE))
-    inner_decode = registry.get(inner.scheme).decode_device(inner)
+    inner_builder = registry.get(inner.scheme).decode_device
+    if fused and out_store is not None:
+        # the inner kernel stages full-width codes and stores the gathered
+        # values at storage width (row_blocked_call's narrow lut scratch)
+        inner_decode = inner_builder(inner, out_store=out_store)
+    else:
+        inner_decode = inner_builder(inner)
 
     def decode(streams):
         c_streams = {k[2:]: v for k, v in streams.items() if k.startswith("c_")}
@@ -43,7 +49,10 @@ def build(col: EncodedColumn):
         codes = inner_decode(c_streams)
         if d == 0:  # empty column: nothing to gather (pad codes pass through)
             return codes
-        return jnp.take(streams["values"], codes.astype(jnp.int32), axis=0)
+        values = streams["values"]
+        if out_store is not None:  # narrow the table so the take WRITES narrow
+            values = values.astype(out_store)
+        return jnp.take(values, codes.astype(jnp.int32), axis=0)
 
     return decode
 
@@ -55,4 +64,4 @@ def prep(col: EncodedColumn) -> dict:
     return {"values": col.streams["values"], **{f"c_{k}": v for k, v in c_streams.items()}}
 
 
-registry.register_device("cascade", build, prep)
+registry.register_device("cascade", build, prep, narrow_store=True)

@@ -45,6 +45,32 @@ def smem_spec(block_shape, index_map):
     return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.SMEM)
 
 
+def store(out_ref, v) -> None:
+    """Final store, narrowing to the output block's dtype when the decode
+    was built with a storage-width ``out_store`` (int8/int16 columns write
+    1/4 or 1/2 the HBM bytes; truncation == the format's zero-extension
+    inverse, util.u32_to_dtype)."""
+    out_ref[:] = v if v.dtype == out_ref.dtype else v.astype(out_ref.dtype)
+
+
+# Mosaic sublane-tile minimum per output itemsize: narrow stores need the
+# block's row dim divisible by the dtype's sublane tile (int8 packs 32
+# sublanes per vreg, 16-bit packs 16) unless the block covers the array.
+_SUBLANE_TILE = {1: 32, 2: 16, 4: 8}
+
+
+def _align_narrow(pl_plan: Plan, itemsize: int) -> Plan:
+    sub = _SUBLANE_TILE[itemsize]
+    if pl_plan.grid == 1 or pl_plan.groups_per_block % sub == 0:
+        return pl_plan
+    from ..util import cdiv
+
+    ng = pl_plan.n_groups
+    if ng <= sub:
+        return Plan(n_groups=ng, groups_per_block=ng, grid=1)
+    return Plan(n_groups=ng, groups_per_block=sub, grid=cdiv(ng, sub))
+
+
 def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = GROUP, extra_bytes_per_group: int = 0, out_dtype=jnp.uint32, pl_plan: Plan | None = None, lut_d_pad: int | None = None):
     """Build a pallas_call over row-blocked (group-major) streams.
 
@@ -58,22 +84,41 @@ def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = 
     §3.1 DICT row's shared-memory staging). The returned callable then takes
     the (1-or-r, lut_d_pad) uint32 table as its FIRST argument; the table
     block has a constant index, so Pallas DMAs it into VMEM once.
+
+    ``out_dtype``: uint32 (the payload contract) or a narrow unsigned dtype
+    for storage-width materialization. With ``lut_d_pad`` AND a narrow
+    out_dtype the kernel's codes must keep full width until the gather, so
+    they stage through a VMEM scratch block instead of the output ref.
     """
+    itemsize = jnp.dtype(out_dtype).itemsize
     if pl_plan is None:
-        bytes_per_group = 2 * 4 * (sum(in_widths) + out_width) + extra_bytes_per_group
+        bytes_per_group = 2 * (4 * sum(in_widths) + itemsize * out_width) + extra_bytes_per_group
         if lut_d_pad:
             bytes_per_group += 4 * lut_d_pad  # row-tiled table VMEM cost
         pl_plan = plan(ng * GROUP, bytes_per_group)
+    if itemsize < 4:
+        pl_plan = _align_narrow(pl_plan, itemsize)
     r = pl_plan.groups_per_block
     in_specs = [block_spec((r, w), lambda i: (i, 0)) for w in in_widths]
     body = kernel
+    scratch_shapes = []
     if lut_d_pad:
         from .lanes import gather_lut
 
-        def body(dic_ref, *refs):
-            kernel(*refs)
-            out_ref = refs[-1]
-            out_ref[:] = gather_lut(dic_ref[:], out_ref[:])
+        if itemsize < 4:
+            scratch_shapes = [pltpu.VMEM((r, out_width), jnp.uint32)]
+
+            def body(dic_ref, *refs):
+                codes_ref, out_ref = refs[-1], refs[-2]
+                kernel(*refs[:-2], codes_ref)
+                store(out_ref, gather_lut(dic_ref[:], codes_ref[:]))
+
+        else:
+
+            def body(dic_ref, *refs):
+                kernel(*refs)
+                out_ref = refs[-1]
+                out_ref[:] = gather_lut(dic_ref[:], out_ref[:])
 
         in_specs = [block_spec((r, lut_d_pad), lambda i: (0, 0))] + in_specs
     call = pl.pallas_call(
@@ -82,6 +127,7 @@ def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = 
         in_specs=in_specs,
         out_specs=block_spec((r, out_width), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ng, out_width), out_dtype),
+        scratch_shapes=scratch_shapes,
         interpret=use_interpret(),
     )
     if lut_d_pad:

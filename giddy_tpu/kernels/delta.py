@@ -11,18 +11,20 @@ from __future__ import annotations
 from .. import registry
 from ..format import EncodedColumn
 from ..util import LANES, GROUP, num_groups
-from .common import row_blocked_call
+from .common import row_blocked_call, store
 from .lanes import group_cumsum, scan_scratch_bytes, unpack_lanes, unzigzag
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     bits = col.params["bits"]
     ng = num_groups(col.n)
     lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
 
     def kernel(in_ref, anchor_ref, out_ref):
         d = unzigzag(unpack_lanes(in_ref[:], bits))
-        out_ref[:] = group_cumsum(d) + anchor_ref[:]
+        store(out_ref, group_cumsum(d) + anchor_ref[:])
+
+    import jax.numpy as jnp
 
     call = row_blocked_call(
         kernel,
@@ -30,6 +32,7 @@ def build(col: EncodedColumn):
         in_widths=[bits * LANES, 1],
         extra_bytes_per_group=scan_scratch_bytes(),
         lut_d_pad=lut,
+        out_dtype=out_store or jnp.uint32,
     )
 
     def decode(streams):
@@ -40,4 +43,4 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("delta", build)
+registry.register_device("delta", build, narrow_store=True)

@@ -53,7 +53,7 @@ def use_lut(d: int) -> bool:
     return 0 < d <= DICT_PALLAS_MAX
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     bits = col.params["bits"]
     d = col.params["dict_size"]
     ng = num_groups(col.n)
@@ -63,7 +63,12 @@ def build(col: EncodedColumn):
 
     if use_lut(d):
         d_pad = round_up(d, LUT_LANE)
-        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES], lut_d_pad=d_pad)
+        # narrow out_store: codes stage through a u32 VMEM scratch (full
+        # width for the gather), only the gathered values store narrow
+        call = row_blocked_call(
+            kernel, ng=ng, in_widths=[bits * LANES], lut_d_pad=d_pad,
+            out_dtype=out_store or jnp.uint32,
+        )
 
         def decode(streams):
             table, _ = _pad_table(streams["values"], d)
@@ -79,9 +84,12 @@ def build(col: EncodedColumn):
 
     def decode(streams):
         codes = call(streams["codes"]).reshape(ng * GROUP)
-        return jnp.take(streams["values"], codes.astype(jnp.int32), axis=0)
+        values = streams["values"]
+        if out_store is not None:  # narrow the table so the take WRITES narrow
+            values = values.astype(out_store)
+        return jnp.take(values, codes.astype(jnp.int32), axis=0)
 
     return decode
 
 
-registry.register_device("dict", build)
+registry.register_device("dict", build, narrow_store=True)

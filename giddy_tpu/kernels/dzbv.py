@@ -140,7 +140,7 @@ def _prow_bytes(x, w4: int):
     return jnp.concatenate(cols, axis=1)
 
 
-def _single_pass_call(ng: int, w4s: dict[int, int]):
+def _single_pass_call(ng: int, w4s: dict[int, int], out_store=None):
     present = sorted(w4s)
     in_widths = [2 * LANES, 8 * LANES] + [w4s[k] * LANES for k in present]
     # scratch: w, masks, packed cumsum(s), per-plane bytes/z — ~8 full
@@ -181,10 +181,13 @@ def _single_pass_call(ng: int, w4s: dict[int, int]):
             x = _prow_bytes(prow_refs[k][:], w4s[k])
             x = expand_monotone(x, rank)
             out = out | (jnp.where(masks[k].astype(bool), x, jnp.uint32(0)) << jnp.uint32(8 * k))
-        out_ref[:] = out
+        from .common import store
+
+        store(out_ref, out)
 
     return row_blocked_call(
-        kernel, ng=ng, in_widths=in_widths, extra_bytes_per_group=scratch
+        kernel, ng=ng, in_widths=in_widths, extra_bytes_per_group=scratch,
+        out_dtype=out_store or jnp.uint32,
     )
 
 
@@ -212,19 +215,20 @@ def _decode_xla(streams, ng: int, plane_lens):
     return out
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     plane_lens = col.params["plane_lens"]
     ng = num_groups(col.n)
 
     def decode(streams):
         if any(f"plane{k}" in streams for k in (1, 2, 3)):
+            # two-pass XLA skew fallback stays u32; api._to_logical narrows
             return _decode_xla(streams, ng, plane_lens)
         w4s = {
             k: streams[f"prow{k}"].shape[1] // LANES
             for k in (1, 2, 3)
             if f"prow{k}" in streams
         }
-        return _single_pass_call(ng, w4s)(
+        return _single_pass_call(ng, w4s, out_store)(
             streams["widths"],
             streams["plane0"],
             *(streams[f"prow{k}"] for k in sorted(w4s)),
@@ -233,4 +237,4 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("dzbv", build, _prep)
+registry.register_device("dzbv", build, _prep, narrow_store=True)

@@ -28,7 +28,7 @@ def prep(col: EncodedColumn) -> dict:
     return {"packed": col.streams["packed"], "refs_g": refs_g.reshape(ng, 1)}
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     bits = col.params["bits"]
     ng = num_groups(col.n)
     lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
@@ -38,7 +38,10 @@ def build(col: EncodedColumn):
         ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
         unpack_map_to(out_ref, in_ref[:], bits, lambda v, i: v + ref)
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1], lut_d_pad=lut)
+    call = row_blocked_call(
+        kernel, ng=ng, in_widths=[bits * LANES, 1], lut_d_pad=lut,
+        out_dtype=out_store or jnp.uint32,
+    )
 
     def decode(streams):
         args = (streams["_lut"],) if lut else ()
@@ -47,4 +50,4 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("for", build, prep)
+registry.register_device("for", build, prep, narrow_store=True)

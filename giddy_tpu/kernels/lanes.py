@@ -62,7 +62,8 @@ def unpack_lanes(x: jax.Array, bits: int) -> jax.Array:
 def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
     """LMP unpack writing each slot's vector straight into ``out_ref``
     (a (R, GROUP) ref) — avoids materializing the concatenation when the
-    kernel has no further use for the full block (nbit/dzbf)."""
+    kernel has no further use for the full block (nbit/dzbf). Narrow
+    ``out_ref`` dtypes store at storage width (truncating slot stores)."""
     if x.dtype != jnp.uint32:
         x = jax.lax.bitcast_convert_type(x, jnp.uint32)
     mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
@@ -73,7 +74,11 @@ def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
             v = v >> jnp.uint32(s)
         if s + bits > 32:
             v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
-        out_ref[:, i * LANES : (i + 1) * LANES] = v & mask if bits < 32 else v
+        if bits < 32:
+            v = v & mask
+        if out_ref.dtype != v.dtype:
+            v = v.astype(out_ref.dtype)
+        out_ref[:, i * LANES : (i + 1) * LANES] = v
 
 
 def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
@@ -94,7 +99,10 @@ def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
             v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
         if bits < 32:
             v = v & mask
-        out_ref[:, i * LANES : (i + 1) * LANES] = epilogue(v, i)
+        v = epilogue(v, i)
+        if out_ref.dtype != v.dtype:
+            v = v.astype(out_ref.dtype)
+        out_ref[:, i * LANES : (i + 1) * LANES] = v
 
 
 def unpack_fold(x: jax.Array, bits: int, fold, init):

@@ -40,7 +40,7 @@ def prep(col: EncodedColumn) -> dict:
     }
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     bits = col.params["bits"]
     ng = num_groups(col.n)
 
@@ -59,7 +59,10 @@ def build(col: EncodedColumn):
             lambda v, i: base + step * jnp.uint32(i) + unzigzag(v),
         )
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1, 1])
+    call = row_blocked_call(
+        kernel, ng=ng, in_widths=[bits * LANES, 1, 1],
+        out_dtype=out_store or jnp.uint32,
+    )
 
     def decode(streams):
         return call(streams["packed"], streams["a_g"], streams["b_g"]).reshape(ng * GROUP)
@@ -67,4 +70,4 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("model", build, prep)
+registry.register_device("model", build, prep, narrow_store=True)

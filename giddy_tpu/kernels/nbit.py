@@ -7,6 +7,8 @@ per block row. Also backs dzbf (B = 8·w, FORMAT §1.9).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from .. import registry
 from ..format import EncodedColumn
 from ..util import GROUP, LANES, num_groups
@@ -14,7 +16,7 @@ from .common import row_blocked_call
 from .lanes import unpack_to
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     bits = col.params["bits"] if col.scheme == "nbit" else 8 * col.params["width"]
     ng = num_groups(col.n)
     lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
@@ -22,7 +24,10 @@ def build(col: EncodedColumn):
     def kernel(in_ref, out_ref):
         unpack_to(out_ref, in_ref[:], bits)
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES], lut_d_pad=lut)
+    call = row_blocked_call(
+        kernel, ng=ng, in_widths=[bits * LANES], lut_d_pad=lut,
+        out_dtype=out_store or jnp.uint32,
+    )
 
     def decode(streams):
         args = (streams["_lut"],) if lut else ()
@@ -31,5 +36,5 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("nbit", build)
-registry.register_device("dzbf", build)
+registry.register_device("nbit", build, narrow_store=True)
+registry.register_device("dzbf", build, narrow_store=True)

@@ -117,7 +117,7 @@ def tile_prep(run_values, bounds, *, positions: bool):
     return {"vals_w": vals_w, "ends_w": ends_w}
 
 
-def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
+def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out_dtype=jnp.uint32):
     """One-pass run expansion: rows x (w_pad run table) -> rows x (W out).
 
     ``lut_d_pad``: fused cascade dictionary stage — the expanded tile is
@@ -125,6 +125,7 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
     returned callable's first argument; constant block index)."""
     from ..registry import _VMEM_BUDGET
     from ..util import cdiv, next_power_of_2
+    from .common import _SUBLANE_TILE, store
 
     # Rows (tiles) are fully independent — each owns its run table — so
     # this kernel blocks at ROW granularity with its own VMEM model rather
@@ -138,6 +139,9 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
         per_row += 4 * lut_d_pad
     rpb = max(8, next_power_of_2(max(_VMEM_BUDGET // per_row, 1) + 1) // 2)
     rpb = rows if rows < 8 else min(rpb, rows)
+    sub = _SUBLANE_TILE[jnp.dtype(out_dtype).itemsize]
+    if rpb < rows and rpb % sub:  # narrow stores need sublane-tile rows
+        rpb = rows if rows <= sub else sub
     grid = cdiv(rows, rpb)
 
     def kernel(*refs):
@@ -152,7 +156,7 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
             from .lanes import gather_lut
 
             out = gather_lut(refs[0][:], out)
-        out_ref[:] = out
+        store(out_ref, out)
 
     lut_specs = [block_spec((rpb, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
     call = pl.pallas_call(
@@ -163,7 +167,7 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
             block_spec((rpb, w_pad), lambda i: (i, 0)),
         ],
         out_specs=block_spec((rpb, W), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, W), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((rows, W), out_dtype),
         interpret=use_interpret(),
     )
     if lut_d_pad:
@@ -171,11 +175,14 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None):
     return call
 
 
-def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None):
+def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None, out_dtype=jnp.uint32):
+    from .common import _align_narrow, store
     from .lanes import scan_scratch_bytes
 
     extra = 4 * lut_d_pad if lut_d_pad else 0
     pl_plan = plan(ng * GROUP, 2 * 4 * (GROUP + GROUP) + extra + scan_scratch_bytes())
+    if jnp.dtype(out_dtype).itemsize < 4:
+        pl_plan = _align_narrow(pl_plan, jnp.dtype(out_dtype).itemsize)
     r = pl_plan.groups_per_block
 
     def kernel(*refs):
@@ -184,7 +191,7 @@ def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None):
             from .lanes import gather_lut
 
             out = gather_lut(refs[0][:], out)
-        refs[-1][:] = out
+        store(refs[-1], out)
 
     lut_specs = [block_spec((r, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
     call = pl.pallas_call(
@@ -192,7 +199,7 @@ def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None):
         grid=(pl_plan.grid,),
         in_specs=lut_specs + [block_spec((r, GROUP), lambda i: (i, 0))],
         out_specs=block_spec((r, GROUP), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ng, GROUP), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((ng, GROUP), out_dtype),
         interpret=use_interpret(),
     )
     if lut_d_pad:
@@ -241,9 +248,10 @@ def _prep(col: EncodedColumn, *, positions: bool) -> dict:
     return scatter_prep(vals, bounds, positions=positions)
 
 
-def _build(col: EncodedColumn, *, positions: bool):
+def _build(col: EncodedColumn, *, positions: bool, out_store=None):
     ng = num_groups(col.n)
     lut = col.params.get("_lut_d_pad")  # cascade's fused dictionary stage
+    out_dt = out_store or jnp.uint32
 
     def decode(streams):
         args = (streams["_lut"],) if lut else ()
@@ -254,7 +262,7 @@ def _build(col: EncodedColumn, *, positions: bool):
                 ends = ends.reshape(-1, ends.shape[-1])
             rows, w_pad = vals.shape
             W = (ng * GROUP) // rows
-            return _chain_call(rows, W, w_pad, lut)(*args, ends, vals).reshape(ng * GROUP)
+            return _chain_call(rows, W, w_pad, lut, out_dt)(*args, ends, vals).reshape(ng * GROUP)
         # fallback: sparse delta scatter + dense per-group cumsum
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)
         # flattened scatter positions are nondecreasing by construction
@@ -264,18 +272,18 @@ def _build(col: EncodedColumn, *, positions: bool):
         dense = dense.at[streams["pos"].astype(jnp.int32).reshape(-1)].add(
             streams["dv"].reshape(-1), mode="drop", indices_are_sorted=True
         )
-        return _cumsum_rows_call(ng, lut)(*args, dense.reshape(ng, GROUP)).reshape(ng * GROUP)
+        return _cumsum_rows_call(ng, lut, out_dt)(*args, dense.reshape(ng, GROUP)).reshape(ng * GROUP)
 
     return decode
 
 
-def build_rle(col: EncodedColumn):
-    return _build(col, positions=False)
+def build_rle(col: EncodedColumn, out_store=None):
+    return _build(col, positions=False, out_store=out_store)
 
 
-def build_rpe(col: EncodedColumn):
-    return _build(col, positions=True)
+def build_rpe(col: EncodedColumn, out_store=None):
+    return _build(col, positions=True, out_store=out_store)
 
 
-registry.register_device("rle", build_rle, lambda col: _prep(col, positions=False))
-registry.register_device("rpe", build_rpe, lambda col: _prep(col, positions=True))
+registry.register_device("rle", build_rle, lambda col: _prep(col, positions=False), narrow_store=True)
+registry.register_device("rpe", build_rpe, lambda col: _prep(col, positions=True), narrow_store=True)

@@ -44,6 +44,15 @@ class Codec:
     # dispatch), so they are materialized here and cross the jit boundary
     # as real arguments.
     prep_streams: Callable[[Any], dict] | None = None
+    # Whether the device builder accepts ``out_store`` (a narrow unsigned
+    # jnp dtype) and emits storage-width stores for int8/int16 columns —
+    # full-column decode then writes 1/4 or 1/2 the HBM bytes instead of
+    # padded uint32 + a separate XLA convert pass (the reference's
+    # element-type template specialization, SURVEY.md §3.1, applied to the
+    # output side). The uint32-payload contract of the fused scan layer
+    # (query/aggregate/topk) is untouched: those callers never pass
+    # out_store.
+    narrow_store: bool = False
 
 
 _REGISTRY: dict[str, Codec] = {}
@@ -55,9 +64,10 @@ def register(scheme: str, encode: Callable[..., EncodedColumn], decode_ref: Call
     return codec
 
 
-def register_device(scheme: str, decode_device: Callable[..., Any], prep_streams: Callable[[Any], dict] | None = None) -> None:
+def register_device(scheme: str, decode_device: Callable[..., Any], prep_streams: Callable[[Any], dict] | None = None, narrow_store: bool = False) -> None:
     _REGISTRY[scheme].decode_device = decode_device
     _REGISTRY[scheme].prep_streams = prep_streams
+    _REGISTRY[scheme].narrow_store = narrow_store
 
 
 def get(scheme: str) -> Codec:

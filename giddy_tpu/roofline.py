@@ -89,7 +89,9 @@ def traffic_audit(col: EncodedColumn) -> dict:
     from . import api
     from .kernels.common import use_interpret
 
-    fn = api.get_decoder(col)
+    # audit the decoder full-column decode actually dispatches — incl. the
+    # storage-width store for narrow columns (api.narrow_store_dtype)
+    fn = api.get_decoder(col, api.narrow_store_dtype(col))
     streams = api.device_streams(col)
     ma = fn.lower(streams).compile().memory_analysis()
     args = int(ma.argument_size_in_bytes)

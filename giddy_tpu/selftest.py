@@ -80,6 +80,7 @@ def run_selftest(n: int, seed: int = 0, audit: bool = True) -> dict:
         ("nullable", _check_nullable),
         ("mixed_container", _check_mixed),
         ("rle_dense", _check_rle_dense),
+        ("narrow_store", _check_narrow_store),
     ):
         entry = {}
         try:
@@ -182,6 +183,38 @@ def _check_rle_dense(n, rng):
     col = gt.encode(v, "cascade", codes_scheme="rle")
     out = np.asarray(gt.decode(col))
     assert (out == v).all(), "cascade(rle) fused LUT"
+
+
+def _check_narrow_store(n, rng):
+    """Storage-width materialization (round 3): int8/int16 columns decode
+    with narrow Mosaic stores (incl. the fused-LUT VMEM-scratch form) —
+    the compiled output buffer must be 1/2 bytes per element and the
+    values bit-exact."""
+    import giddy_tpu as gt
+    from giddy_tpu import api
+    from giddy_tpu.roofline import traffic_audit
+    from giddy_tpu.util import GROUP
+
+    cases = [
+        ("nbit", rng.integers(0, 200, n).astype(np.uint8)),
+        ("for", rng.integers(0, 60000, n).astype(np.uint16)),
+        ("delta", np.minimum(np.arange(n) // 600, 100).astype(np.int16)),
+        ("dict", rng.integers(-100, 100, n).astype(np.int8)),
+        ("rle", (np.arange(n) // 700).astype(np.int16)),
+        ("dzbv", rng.integers(0, 60000, n).astype(np.uint16)),
+    ]
+    for scheme, v in cases:
+        col = gt.encode(v, scheme)
+        assert api.narrow_store_dtype(col) is not None, scheme
+        out = np.asarray(gt.decode(col))
+        assert out.dtype == v.dtype and (out == v).all(), f"narrow {scheme}"
+        a = traffic_audit(col)
+        ng = -(-n // GROUP)
+        assert a["out_bytes"] == ng * GROUP * v.dtype.itemsize, (scheme, a)
+    base = (np.arange(n // 8, dtype=np.int64) % 90).astype(np.int16)
+    v = np.repeat(base, 8)[:n]
+    out = np.asarray(gt.decode(gt.encode(v, "cascade", codes_scheme="rle")))
+    assert out.dtype == v.dtype and (out == v).all(), "narrow cascade LUT"
 
 
 def main(argv=None) -> int:
