@@ -38,6 +38,7 @@ REF_GBPS = {
     "delta": 35.0, "rle": 35.0, "rpe": 35.0, "dzbv": 35.0,
     "model": 50.0, "bitmap": 50.0, "patched": 50.0, "raw": 100.0, "xordelta": 35.0,
     "cascade": 35.0,  # ~ dict gather atop an rle decode
+    "alp": 65.0,  # FOR-shaped decode + a float op (no reference analog)
 }
 HEADLINE = ["nbit", "for", "delta", "dict", "rle"]
 from giddy_tpu.datagen import CORE_SCHEMES as ALL  # single source of truth

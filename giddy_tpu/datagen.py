@@ -11,7 +11,7 @@ import numpy as np
 # drift: a new scheme would silently escape the hardware selftest).
 CORE_SCHEMES = [
     "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap",
-    "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta",
+    "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta", "alp",
 ]
 
 
@@ -23,6 +23,12 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
     if scheme == "for":
         base = np.int32(1_700_000_000)
         return (base + rng.integers(0, 4096, n)).astype(np.int32)
+    if scheme == "alp":
+        # decimal float32 (price-like: 2 fractional digits); hard = raw
+        # random floats, where nearly everything becomes an exception
+        if hard:
+            return rng.random(n).astype(np.float32)
+        return np.round(rng.uniform(0, 1000, n), 2).astype(np.float32)
     if scheme == "xordelta":
         # slowly varying float32 (sensor trace): neighbors share
         # sign/exponent/high-mantissa bits, so bitpattern XORs pack narrow

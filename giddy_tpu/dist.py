@@ -206,6 +206,17 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         return DistForm(
             local_col=lc, sharded=shard_streams, replicated={}, ng=ng, shard_leading=True
         )
+    if scheme == "alp":
+        # FOR-shaped main streams shard on groups; exceptions ride the
+        # patched mechanism (replicated, scattered shard-locally after)
+        df = local(
+            {"bits": p["bits"], "corr_bits": p["corr_bits"], "exp_e": p["exp_e"], "count": 0},
+            {"packed": st["packed"], "corr": st["corr"], "refs_g": st["refs"].reshape(ng, 1)},
+        )
+        if p["count"]:
+            df.patch_streams = {"patch_pos": st["patch_pos"], "patch_val": st["patch_val"]}
+            df.patch_params = {"kind": "naive", "count": p["count"]}
+        return df
     if scheme == "patched":
         base = EncodedColumn(
             name=col.name, scheme=col.params["base_scheme"], dtype=col.dtype, n=col.n,

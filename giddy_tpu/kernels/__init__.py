@@ -7,6 +7,7 @@ scheme (the analog of linking libgiddy's kernel-wrapper TUs: import =
 
 from .. import ref as _ref  # noqa: F401  (CPU codecs must register first)
 from . import (  # noqa: F401  (import = registration)
+    alp,
     bitmap,
     cascade,
     delta,

@@ -38,8 +38,12 @@ from .lanes import LUT_LANE, unpack_to
 
 # Largest dictionary the fused in-kernel gather accepts; above this the
 # select chain across 128-entry blocks (d/128 gathers per value) loses to
-# the XLA take's extra HBM pass.
-DICT_PALLAS_MAX = int(os.environ.get("GIDDY_TPU_DICT_PALLAS_MAX", 1024))
+# the XLA take's extra HBM pass. Structural crossover (results/dict_ab.json
+# + VPU-op accounting): the chain costs ~2*(d/128) VPU ops/element, so on
+# a v5e (~3.8 Tops VPU, 819 GB/s HBM) it stays above the take's
+# extra-pass ceiling (~traffic/2.5) through d = 2048 and loses by ~4096;
+# raised 1024 -> 2048 in round 3 on that accounting.
+DICT_PALLAS_MAX = int(os.environ.get("GIDDY_TPU_DICT_PALLAS_MAX", 2048))
 
 
 def _pad_table(values, d: int):

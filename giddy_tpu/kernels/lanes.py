@@ -36,27 +36,34 @@ def scan_mode() -> str:
     return os.environ.get("GIDDY_TPU_SCAN", "mxu")
 
 
+def unpack_slot(x: jax.Array, bits: int, i: int) -> jax.Array:
+    """Slot ``i`` of an LMP(bits) packed block: the (R, LANES) uint32
+    vector of values at linear positions ``i*LANES + lane`` (FORMAT §0.1).
+    The one shared shift/stitch step every unpack variant unrolls: all
+    distances are Python constants, operands are full (R, 1024) vectors —
+    8 vregs wide, no gathers, no sublane traffic."""
+    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    w0, s = divmod(i * bits, 32)
+    v = x[:, w0 * LANES : (w0 + 1) * LANES]
+    if s:
+        v = v >> jnp.uint32(s)
+    if s + bits > 32:
+        v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
+    return v & mask if bits < 32 else v
+
+
+def _u32(x: jax.Array) -> jax.Array:
+    return x if x.dtype == jnp.uint32 else jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
 def unpack_lanes(x: jax.Array, bits: int) -> jax.Array:
     """LMP unpack: (R, bits*LANES) uint32 words -> (R, GROUP) uint32 values.
 
     Column j = i*LANES + c of the result is the group's value at linear
     position j — outputs land in linear order by construction (FORMAT §0.1).
-    All shift distances are Python-level constants; every operand is a full
-    (R, 1024) vector: 8 vregs wide, no gathers, no sublane traffic.
     """
-    if x.dtype != jnp.uint32:
-        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
-    cols = []
-    for i in range(SLOTS):
-        w0, s = divmod(i * bits, 32)
-        v = x[:, w0 * LANES : (w0 + 1) * LANES]
-        if s:
-            v = v >> jnp.uint32(s)
-        if s + bits > 32:
-            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
-        cols.append(v & mask if bits < 32 else v)
-    return jnp.concatenate(cols, axis=1)
+    x = _u32(x)
+    return jnp.concatenate([unpack_slot(x, bits, i) for i in range(SLOTS)], axis=1)
 
 
 def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
@@ -64,18 +71,9 @@ def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
     (a (R, GROUP) ref) — avoids materializing the concatenation when the
     kernel has no further use for the full block (nbit/dzbf). Narrow
     ``out_ref`` dtypes store at storage width (truncating slot stores)."""
-    if x.dtype != jnp.uint32:
-        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    x = _u32(x)
     for i in range(SLOTS):
-        w0, s = divmod(i * bits, 32)
-        v = x[:, w0 * LANES : (w0 + 1) * LANES]
-        if s:
-            v = v >> jnp.uint32(s)
-        if s + bits > 32:
-            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
-        if bits < 32:
-            v = v & mask
+        v = unpack_slot(x, bits, i)
         if out_ref.dtype != v.dtype:
             v = v.astype(out_ref.dtype)
         out_ref[:, i * LANES : (i + 1) * LANES] = v
@@ -87,19 +85,9 @@ def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
     one pass with zero intermediate materialization (the analog of the
     reference fusing the frame-ref add into the unpack loop, SURVEY.md CS-2).
     """
-    if x.dtype != jnp.uint32:
-        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    x = _u32(x)
     for i in range(SLOTS):
-        w0, s = divmod(i * bits, 32)
-        v = x[:, w0 * LANES : (w0 + 1) * LANES]
-        if s:
-            v = v >> jnp.uint32(s)
-        if s + bits > 32:
-            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
-        if bits < 32:
-            v = v & mask
-        v = epilogue(v, i)
+        v = epilogue(unpack_slot(x, bits, i), i)
         if out_ref.dtype != v.dtype:
             v = v.astype(out_ref.dtype)
         out_ref[:, i * LANES : (i + 1) * LANES] = v
@@ -110,20 +98,10 @@ def unpack_fold(x: jax.Array, bits: int, fold, init):
     ``acc = fold(acc, v, i)`` over the 32 slots. The reduction sibling of
     unpack_map_to — used by fused predicate scans (query.py) where the
     kernel's output is smaller than the decoded block."""
-    if x.dtype != jnp.uint32:
-        x = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    mask = jnp.uint32(0xFFFFFFFF) if bits == 32 else jnp.uint32((1 << bits) - 1)
+    x = _u32(x)
     acc = init
     for i in range(SLOTS):
-        w0, s = divmod(i * bits, 32)
-        v = x[:, w0 * LANES : (w0 + 1) * LANES]
-        if s:
-            v = v >> jnp.uint32(s)
-        if s + bits > 32:
-            v = v | (x[:, (w0 + 1) * LANES : (w0 + 2) * LANES] << jnp.uint32(32 - s))
-        if bits < 32:
-            v = v & mask
-        acc = fold(acc, v, i)
+        acc = fold(acc, unpack_slot(x, bits, i), i)
     return acc
 
 

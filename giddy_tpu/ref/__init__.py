@@ -9,6 +9,7 @@ double as the judge target per BASELINE.json configs[0].
 """
 
 from . import (  # noqa: F401  (import = registration)
+    alp,
     bitmap,
     cascade,
     delta,

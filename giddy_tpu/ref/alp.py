@@ -1,0 +1,143 @@
+"""ALP-style lossless decimal-float compression — CPU reference codec
+(FORMAT.md §1.16).
+
+Beyond-parity scheme (libgiddy has no float-specific codec beyond treating
+bitpatterns as ints — SURVEY.md §3.1 note): real float32 columns are
+overwhelmingly *decimals* (prices, rates, measurements), i.e. the nearest
+float to ``d / 10^e`` for a small integer ``d``. Following the ALP idea
+(Afroozeh & Boncz 2023, PAPERS.md; format re-designed for the LMP/GROUP
+layout AND for cross-platform bit-exactness), encode stores that integer
+plus a tiny per-element ulp correction:
+
+- pick one column exponent ``e`` in [0, 10] (smallest total cost);
+- ``enc = rint(v * 10^e)`` in float64 (exact for |enc| < 2^23), stored
+  FOR-style (per-GROUP min refs + LMP-packed offsets — decimals cluster);
+- the device-reproducible approximation is ``m = f32(enc) * f32(10^-e)``
+  — int→f32 convert and f32 multiply are single correctly-rounded IEEE
+  ops, bit-identical on the host and the TPU VPU. TRUE division would
+  round-trip decimals exactly, but TPU f32 division is reciprocal-based
+  and not correctly rounded (measured: one-ulp disagreements), so the
+  decode must not divide;
+- ``m`` is within ~1 ulp of ``v`` for decimal data, so the *bitpattern
+  difference* ``corr = bits(v) - bits(m)`` is tiny (measured: zigzag fits
+  2 bits with zero exceptions on price-like data). It ships as an
+  LMP(corr_bits) side stream and decode is ``bits(m) + corr`` — integer
+  wrap arithmetic, exact by construction on any platform;
+- whatever still fails (NaN/Inf, |enc| >= 2^23, subnormals, -0.0,
+  corrections beyond the 99.5%-quantile width) becomes an exception:
+  position + original-bitpattern side streams scattered after the main
+  decode, exactly the patched mechanism of FORMAT §1.11.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import registry
+from ..format import EncodedColumn
+from ..util import GROUP, bits_needed, num_groups, pad_to_groups, unzigzag, zigzag
+from .lmp import lmp_pack, lmp_unpack
+
+E_MAX = 10  # 10^10 is exactly representable in f32; enc < 2^23 binds first
+CORR_COVER = 0.995  # corr width covers this fraction; the tail is patched
+
+
+def _approx_bits(enc: np.ndarray, e: int) -> np.ndarray:
+    """int32 bitpatterns of the device-reproducible approximation
+    ``f32(enc) * f32(10^-e)`` (both ops single-rounded IEEE f32)."""
+    m = enc.astype(np.float32) * np.float32(10.0**-e)
+    return m.view(np.int32)
+
+
+def _analyze(v: np.ndarray, e: int):
+    """(enc int64, zig uint32, ok_range bool) for exponent ``e``."""
+    with np.errstate(invalid="ignore", over="ignore"):
+        encf = np.rint(v.astype(np.float64) * 10.0**e)
+    finite = np.isfinite(encf)
+    enc = np.where(finite, encf, 0.0).astype(np.int64)
+    ok = finite & (np.abs(enc) < 2**23)
+    u = v.view(np.uint32)
+    # subnormal v: the approximation may land subnormal too, and device
+    # FTZ units disagree with the host there — always exceptions (they
+    # are vanishingly rare in decimal data)
+    subnormal = ((u & 0x7F800000) == 0) & ((u & 0x007FFFFF) != 0)
+    ok &= ~subnormal
+    corr = np.where(ok, u.view(np.int32) - _approx_bits(enc.astype(np.int32), e), 0)
+    return enc, zigzag(corr.astype(np.int32)), ok
+
+
+def encode(
+    values: np.ndarray,
+    *,
+    e: int | None = None,
+    name: str = "col",
+) -> EncodedColumn:
+    values = np.asarray(values)
+    if values.dtype != np.float32:
+        raise ValueError(f"alp encodes float32 columns, got {values.dtype}")
+    n = values.shape[0]
+    u = values.view(np.uint32)
+    fill = int(u[-1]) if n else 0  # last-value pad keeps group refs sane
+    v = pad_to_groups(u, fill=fill).view(np.float32)
+    ng = num_groups(n)
+
+    best = None
+    for cand in [e] if e is not None else range(E_MAX + 1):
+        enc, zig, okr = _analyze(v, cand)
+        # correction width: cover CORR_COVER of the in-range values; the
+        # zig tail joins the exceptions (patched), like ref/patch._pick_bits
+        zr = zig[okr] if okr.any() else np.zeros(1, np.uint32)
+        q = int(np.quantile(zr.astype(np.float64), CORR_COVER, method="lower"))
+        corr_bits = bits_needed(q)
+        ok = okr & (zig < np.uint32(1) << np.uint32(corr_bits))
+        ex = int((~ok[:n]).sum())
+        # benign stand-in for exceptions: the group's min of ok values
+        # (keeps offsets narrow); all-exception groups fall back to 0
+        gmin = np.where(ok, enc, np.int64(2**62)).reshape(ng, GROUP).min(axis=1)
+        gmin = np.where(gmin == 2**62, 0, gmin)
+        encf = np.where(ok, enc, np.repeat(gmin, GROUP))
+        refs = encf.reshape(ng, GROUP).min(axis=1)
+        offs = (encf - np.repeat(refs, GROUP)).astype(np.uint32)
+        bits = bits_needed(int(offs.max(initial=0)))
+        cost = ng * GROUP * (bits + corr_bits) / 8 + ex * 8 + ng * 4
+        if best is None or cost < best[0]:
+            best = (cost, cand, ok, offs, refs, bits, np.where(ok, zig, 0), corr_bits)
+    _, exp_e, ok, offs, refs, bits, zig, corr_bits = best
+    pos = np.nonzero(~ok[:n])[0].astype(np.int32)
+    patch_val = u[pos.astype(np.int64)].view(np.int32)
+    return EncodedColumn(
+        name=name,
+        scheme="alp",
+        dtype="float32",
+        n=n,
+        params={
+            "bits": int(bits),
+            "corr_bits": int(corr_bits),
+            "exp_e": int(exp_e),
+            "count": int(pos.shape[0]),
+        },
+        streams={
+            "packed": lmp_pack(offs, bits),
+            "corr": lmp_pack(zig.astype(np.uint32), corr_bits),
+            "refs": refs.astype(np.uint32).astype(np.int32),
+            "patch_pos": pos,
+            "patch_val": patch_val,
+        },
+    )
+
+
+def decode(col: EncodedColumn) -> np.ndarray:
+    p = col.params
+    offs = lmp_unpack(col.streams["packed"], p["bits"], col.n)
+    zig = lmp_unpack(col.streams["corr"], p["corr_bits"], col.n)
+    refs = col.streams["refs"].view(np.uint32)
+    gidx = np.arange(col.n, dtype=np.int64) // GROUP
+    enc = (refs[gidx] + offs).astype(np.uint32).view(np.int32)
+    out = _approx_bits(enc, p["exp_e"]).view(np.uint32)
+    out = (out + unzigzag(zig).view(np.uint32)).copy()  # wrap add
+    pos = col.streams["patch_pos"].astype(np.int64)
+    out[pos] = col.streams["patch_val"].view(np.uint32)
+    return out.view(np.float32)
+
+
+registry.register("alp", encode, decode)

@@ -36,7 +36,7 @@ from giddy_tpu.util import GROUP
 from helpers import gen_column
 
 DIST_SCHEMES = [
-    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched", "xordelta",
+    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched", "xordelta", "alp",
 ]
 
 
@@ -50,7 +50,7 @@ def main() -> None:
         np.testing.assert_array_equal(out, gt.decode_ref(col), err_msg=scheme)
         print(f"[dist] {scheme}: ok", flush=True)
     # ragged group counts (padded groups)
-    for scheme in ("nbit", "delta", "rle", "bitmap", "dict", "patched", "dzbv"):
+    for scheme in ("nbit", "delta", "rle", "bitmap", "dict", "patched", "dzbv", "alp"):
         v = gen_column(scheme, 3 * GROUP + 421, rng)
         col = gt.encode(v, scheme)
         np.testing.assert_array_equal(

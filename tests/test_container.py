@@ -61,6 +61,7 @@ def test_stream_alignment():
         ("raw", "raw_rand"),
         ("cascade", "cascade_rledict"),
         ("xordelta", "xordelta_sensor"),
+        ("alp", "alp_prices"),
     ],
 )
 def test_golden_format_frozen(scheme, digest_name):

@@ -17,8 +17,19 @@ import pytest
 
 import jax.numpy as jnp
 
+from giddy_tpu.kernels import lanes
 from giddy_tpu.kernels.lanes import _mxu_cumsum, _roll_cumsum
 from giddy_tpu.util import GROUP
+
+
+@pytest.fixture(autouse=True)
+def _algorithm_roll(monkeypatch):
+    """These are algorithm tests evaluated at the top JAX level (outside
+    any pallas_call), where ``pltpu.roll`` has no lowering on either
+    backend — substitute the semantically identical ``jnp.roll``. The
+    real Mosaic lowering is exercised by test_device_vs_oracle and the
+    hardware selftest."""
+    monkeypatch.setattr(lanes, "_lane_roll", lambda x, k: jnp.roll(x, k, axis=1))
 
 
 def _want(x: np.ndarray) -> np.ndarray:

@@ -9,7 +9,7 @@ from giddy_tpu.datagen import gen_column
 from giddy_tpu.stream import decode_streamed, stream_decode
 from giddy_tpu.util import GROUP
 
-SCHEMES = ["nbit", "delta", "rle", "dict", "patched", "dzbv"]
+SCHEMES = ["nbit", "delta", "rle", "dict", "patched", "dzbv", "alp"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
