@@ -22,7 +22,7 @@ from giddy_tpu.advisor import suggest
 from giddy_tpu.datagen import gen_column
 
 SCHEMES = [
-    "nbit", "for", "delta", "xordelta", "dict", "rle", "rpe",
+    "nbit", "for", "delta", "xordelta", "alp", "dict", "rle", "rpe",
     "model", "bitmap", "dzbf", "dzbv", "patched", "cascade", "raw",
 ]
 
@@ -43,6 +43,7 @@ def main(log2_n: int = 20) -> None:
         desc = {
             "nbit": "9-bit ints", "for": "narrow-range timestamps",
             "delta": "sorted timestamps", "xordelta": "slow-varying float32",
+            "alp": "decimal float32 prices",
             "dict": "40-value vocabulary", "rle": "long status runs",
             "rpe": "long status runs", "model": "linear-trend ints",
             "bitmap": "4 distinct values", "dzbf": "low-byte ints",

@@ -22,9 +22,10 @@ from .common import block_spec, smem_spec, use_interpret
 from .lanes import unpack_lanes
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     d = col.params["d"]
     ng = num_groups(col.n)
+    out_dt = out_store or jnp.uint32
     if d == 0:  # empty column
         return lambda streams: jnp.zeros((ng * GROUP,), jnp.uint32)
     if d > 64:
@@ -40,14 +41,18 @@ def build(col: EncodedColumn):
             return acc.reshape(ng * GROUP)
 
         return decode_xla
+    from .common import _align_narrow, store
+
     pl_plan = plan(ng * GROUP, 2 * 4 * (d * LANES + GROUP))
+    if jnp.dtype(out_dt).itemsize < 4:
+        pl_plan = _align_narrow(pl_plan, jnp.dtype(out_dt).itemsize)
     r = pl_plan.groups_per_block
 
     def kernel(bm_ref, val_ref, out_ref):
         acc = unpack_lanes(bm_ref[0], 1) * val_ref[0, 0]
         for dd in range(1, d):
             acc += unpack_lanes(bm_ref[dd], 1) * val_ref[0, dd]
-        out_ref[:] = acc
+        store(out_ref, acc)
 
     call = pl.pallas_call(
         kernel,
@@ -57,7 +62,7 @@ def build(col: EncodedColumn):
             smem_spec((1, d), lambda i: (0, 0)),
         ],
         out_specs=block_spec((r, GROUP), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ng, GROUP), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((ng, GROUP), out_dt),
         interpret=use_interpret(),
     )
 
@@ -69,4 +74,4 @@ def build(col: EncodedColumn):
     return decode
 
 
-registry.register_device("bitmap", build)
+registry.register_device("bitmap", build, narrow_store=True)

@@ -31,13 +31,14 @@ def prep(col: EncodedColumn) -> dict:
     return streams
 
 
-def build(col: EncodedColumn):
+def build(col: EncodedColumn, out_store=None):
     bp = col.params["base_params"]
     bits = bp["bits"]
     ng = num_groups(col.n)
     count = col.params["count"]
     kind = col.params["kind"]
     base_scheme = col.params["base_scheme"]
+    out_dt = out_store or jnp.uint32
 
     if base_scheme == "for":
 
@@ -45,7 +46,7 @@ def build(col: EncodedColumn):
             ref = jnp.broadcast_to(ref_ref[:], (ref_ref.shape[0], LANES))
             unpack_map_to(out_ref, in_ref[:], bits, lambda v, i: v + ref)
 
-        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
+        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1], out_dtype=out_dt)
 
         def base_decode(streams):
             return call(streams["base_packed"], streams["base_refs_g"]).reshape(ng * GROUP)
@@ -55,7 +56,7 @@ def build(col: EncodedColumn):
         def kernel(in_ref, out_ref):
             unpack_to(out_ref, in_ref[:], bits)
 
-        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES])
+        call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES], out_dtype=out_dt)
 
         def base_decode(streams):
             return call(streams["base_packed"]).reshape(ng * GROUP)
@@ -84,10 +85,13 @@ def build(col: EncodedColumn):
                 pos = streams["patch_pos"].astype(jnp.int32)
             else:
                 pos = pos_decode(streams).astype(jnp.int32)
-            u = u.at[pos].set(streams["patch_val"])
+            val = streams["patch_val"]
+            if out_store is not None:  # narrow the scatter values too
+                val = val.astype(out_dt)
+            u = u.at[pos].set(val)
         return u
 
     return decode
 
 
-registry.register_device("patched", build, prep)
+registry.register_device("patched", build, prep, narrow_store=True)

@@ -202,6 +202,8 @@ def _check_narrow_store(n, rng):
         ("dict", rng.integers(-100, 100, n).astype(np.int8)),
         ("rle", (np.arange(n) // 700).astype(np.int16)),
         ("dzbv", rng.integers(0, 60000, n).astype(np.uint16)),
+        ("bitmap", (rng.integers(0, 4, n) * 7).astype(np.uint8)),
+        ("patched", np.where(rng.random(n) < 0.002, 30000, rng.integers(0, 60, n)).astype(np.int16)),
     ]
     for scheme, v in cases:
         col = gt.encode(v, scheme)

@@ -23,13 +23,20 @@ def _col(scheme, dt, rng):
         v = (np.arange(N) // 700).astype(np.dtype(dt))
     elif scheme == "delta":
         v = np.minimum(np.arange(N) // 600, 100).astype(np.dtype(dt))
+    elif scheme == "bitmap":
+        v = (rng.integers(0, 4, N) * 7).astype(np.dtype(dt))
+    elif scheme == "patched":
+        v = rng.integers(0, 60, N).astype(np.dtype(dt))
+        v[rng.choice(N, 50, replace=False)] = hi - 1
     else:
         v = rng.integers(lo, hi, N).astype(np.dtype(dt))
     return gt.encode(v, scheme), v
 
 
 @pytest.mark.parametrize("dt", ["int8", "uint8", "int16", "uint16"])
-@pytest.mark.parametrize("scheme", ["nbit", "for", "delta", "dict", "rle", "dzbf"])
+@pytest.mark.parametrize(
+    "scheme", ["nbit", "for", "delta", "dict", "rle", "dzbf", "bitmap", "patched"]
+)
 def test_narrow_store_engages_and_is_exact(scheme, dt):
     rng = np.random.default_rng(3)
     col, v = _col(scheme, dt, rng)
