@@ -65,6 +65,17 @@ def prepare_scheme(scheme: str, n: int, rng):
     before any timing: on the axon tunnel, a compile event degrades
     subsequent execution in the same process, so the bench runs two
     phases — prepare everything, then time everything."""
+    if scheme == "rle_dense":
+        # runs of ~1: forces rle's scatter+cumsum fallback — the only rle
+        # path that contains a group_cumsum (the scan-ab target); the
+        # common long-run column decodes via the cumsum-free tile chain
+        v = gen_column("rle", n, rng, hard=True)
+        col = gt.encode(v, "rle", name="bench_rle_dense")
+        fn = gt.get_decoder(col)
+        streams = gt.api.device_streams(col)
+        jax.block_until_ready(streams)
+        jax.block_until_ready(fn(streams))
+        return col, (lambda: fn(streams))
     v = gen_column(scheme, n, rng)
     col = gt.encode(v, scheme, name=f"bench_{scheme}")
     fn = gt.get_decoder(col)
@@ -293,7 +304,7 @@ def _scan_ab(args, outdir: pathlib.Path) -> dict:
     dispatch-bound (timing_suspect), so the record is for a future real
     machine; bit-exactness of both modes is covered by the selftest."""
     table: dict[str, dict] = {}
-    for scheme in ("delta", "rle", "dzbv"):
+    for scheme in ("delta", "rle_dense", "dzbv"):
         table[scheme] = {}
         for mode in ("mxu", "roll"):
             r = _spawn_one(scheme, args, env_extra={"GIDDY_TPU_SCAN": mode})
@@ -454,7 +465,9 @@ def _regression_floor(detail: dict, outdir: pathlib.Path) -> None:
     drops; then persist this run as the new reference."""
     ref_path = outdir / "bench_floor.json"
     gbps = {s: r["decode_GBps"] for s, r in detail["schemes"].items() if r.get("decode_GBps")}
-    if not gbps:
+    if len(gbps) < 3:
+        # a 1-2 scheme debug run has a degenerate geomean (relative shares
+        # ~1.0) — comparing or persisting it would poison the floor
         return
     geo = math.exp(sum(math.log(g) for g in gbps.values()) / len(gbps))
     rel = {s: g / geo for s, g in gbps.items()}

@@ -41,11 +41,14 @@ def build(col: EncodedColumn, out_store=None):
             return acc.reshape(ng * GROUP)
 
         return decode_xla
-    from .common import _align_narrow, store
+    from .common import resolve_narrow, store
 
-    pl_plan = plan(ng * GROUP, 2 * 4 * (d * LANES + GROUP))
+    bpg = 2 * 4 * (d * LANES + GROUP)
+    pl_plan = plan(ng * GROUP, bpg)
     if jnp.dtype(out_dt).itemsize < 4:
-        pl_plan = _align_narrow(pl_plan, jnp.dtype(out_dt).itemsize)
+        pl_plan, accepted = resolve_narrow(pl_plan, jnp.dtype(out_dt).itemsize, bpg)
+        if not accepted:
+            out_dt = jnp.uint32
     r = pl_plan.groups_per_block
 
     def kernel(bm_ref, val_ref, out_ref):

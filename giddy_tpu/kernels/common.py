@@ -59,16 +59,32 @@ def store(out_ref, v) -> None:
 _SUBLANE_TILE = {1: 32, 2: 16, 4: 8}
 
 
-def _align_narrow(pl_plan: Plan, itemsize: int) -> Plan:
+def resolve_narrow(pl_plan: Plan, itemsize: int, bytes_per_group: int):
+    """(plan, accepted): align the plan's row count to the narrow dtype's
+    sublane tile, DECLINING the narrow store (accepted=False) when the
+    alignment would inflate the block working set past the VMEM budget —
+    bumping 8 -> 32 rows quadruples the block, and an over-budget plan is
+    a hardware-compile OOM the CPU interpreter never sees (the
+    kernels/rle.py lesson). Callers fall back to the uint32 store; the
+    dtype-driven api._to_logical absorbs either output width, so declining
+    is always safe. The decline only costs the output-write saving, which
+    is small exactly when the rest of the working set dominates."""
     sub = _SUBLANE_TILE[itemsize]
     if pl_plan.grid == 1 or pl_plan.groups_per_block % sub == 0:
-        return pl_plan
+        return pl_plan, True
+    from ..registry import _VMEM_BUDGET
     from ..util import cdiv
 
     ng = pl_plan.n_groups
     if ng <= sub:
-        return Plan(n_groups=ng, groups_per_block=ng, grid=1)
-    return Plan(n_groups=ng, groups_per_block=sub, grid=cdiv(ng, sub))
+        # whole-array single block (no double buffering, so halve the
+        # per-group figure) — but only while it actually fits
+        if ng * bytes_per_group // 2 <= _VMEM_BUDGET:
+            return Plan(n_groups=ng, groups_per_block=ng, grid=1), True
+        return pl_plan, False
+    if sub * bytes_per_group > _VMEM_BUDGET:
+        return pl_plan, False
+    return Plan(n_groups=ng, groups_per_block=sub, grid=cdiv(ng, sub)), True
 
 
 def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = GROUP, extra_bytes_per_group: int = 0, out_dtype=jnp.uint32, pl_plan: Plan | None = None, lut_d_pad: int | None = None):
@@ -91,13 +107,17 @@ def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = 
     they stage through a VMEM scratch block instead of the output ref.
     """
     itemsize = jnp.dtype(out_dtype).itemsize
+    bytes_per_group = 2 * (4 * sum(in_widths) + itemsize * out_width) + extra_bytes_per_group
+    if lut_d_pad:
+        bytes_per_group += 4 * lut_d_pad  # row-tiled table VMEM cost
+        if itemsize < 4:
+            bytes_per_group += 4 * out_width  # the u32 codes scratch below
     if pl_plan is None:
-        bytes_per_group = 2 * (4 * sum(in_widths) + itemsize * out_width) + extra_bytes_per_group
-        if lut_d_pad:
-            bytes_per_group += 4 * lut_d_pad  # row-tiled table VMEM cost
         pl_plan = plan(ng * GROUP, bytes_per_group)
     if itemsize < 4:
-        pl_plan = _align_narrow(pl_plan, itemsize)
+        pl_plan, accepted = resolve_narrow(pl_plan, itemsize, bytes_per_group)
+        if not accepted:
+            out_dtype, itemsize = jnp.uint32, 4
     r = pl_plan.groups_per_block
     in_specs = [block_spec((r, w), lambda i: (i, 0)) for w in in_widths]
     body = kernel

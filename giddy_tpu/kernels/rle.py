@@ -141,7 +141,12 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out
     rpb = rows if rows < 8 else min(rpb, rows)
     sub = _SUBLANE_TILE[jnp.dtype(out_dtype).itemsize]
     if rpb < rows and rpb % sub:  # narrow stores need sublane-tile rows
-        rpb = rows if rows <= sub else sub
+        if rows <= sub:
+            rpb = rows
+        elif sub * per_row <= _VMEM_BUDGET:
+            rpb = sub
+        else:  # aligning would blow the VMEM budget — decline the narrow
+            out_dtype = jnp.uint32  # store (api._to_logical converts)
     grid = cdiv(rows, rpb)
 
     def kernel(*refs):
@@ -176,13 +181,16 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out
 
 
 def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None, out_dtype=jnp.uint32):
-    from .common import _align_narrow, store
+    from .common import resolve_narrow, store
     from .lanes import scan_scratch_bytes
 
     extra = 4 * lut_d_pad if lut_d_pad else 0
-    pl_plan = plan(ng * GROUP, 2 * 4 * (GROUP + GROUP) + extra + scan_scratch_bytes())
+    bpg = 2 * 4 * (GROUP + GROUP) + extra + scan_scratch_bytes()
+    pl_plan = plan(ng * GROUP, bpg)
     if jnp.dtype(out_dtype).itemsize < 4:
-        pl_plan = _align_narrow(pl_plan, jnp.dtype(out_dtype).itemsize)
+        pl_plan, accepted = resolve_narrow(pl_plan, jnp.dtype(out_dtype).itemsize, bpg)
+        if not accepted:
+            out_dtype = jnp.uint32
     r = pl_plan.groups_per_block
 
     def kernel(*refs):

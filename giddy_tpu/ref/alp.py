@@ -40,6 +40,7 @@ from .lmp import lmp_pack, lmp_unpack
 
 E_MAX = 10  # 10^10 is exactly representable in f32; enc < 2^23 binds first
 CORR_COVER = 0.995  # corr width covers this fraction; the tail is patched
+CORR_MAX = 24  # widest useful correction: past this, patch the value
 
 
 def _approx_bits(enc: np.ndarray, e: int) -> np.ndarray:
@@ -53,9 +54,11 @@ def _analyze(v: np.ndarray, e: int):
     """(enc int64, zig uint32, ok_range bool) for exponent ``e``."""
     with np.errstate(invalid="ignore", over="ignore"):
         encf = np.rint(v.astype(np.float64) * 10.0**e)
-    finite = np.isfinite(encf)
-    enc = np.where(finite, encf, 0.0).astype(np.int64)
-    ok = finite & (np.abs(enc) < 2**23)
+        # range-check on the FLOAT value before any int cast: casting huge
+        # finite floats to int64 is C-undefined (differs across
+        # architectures — an on-disk determinism hazard)
+        ok = np.isfinite(encf) & (np.abs(encf) < 2**23)
+        enc = np.where(ok, encf, 0.0).astype(np.int64)
     u = v.view(np.uint32)
     # subnormal v: the approximation may land subnormal too, and device
     # FTZ units disagree with the host there — always exceptions (they
@@ -84,12 +87,18 @@ def encode(
     best = None
     for cand in [e] if e is not None else range(E_MAX + 1):
         enc, zig, okr = _analyze(v, cand)
-        # correction width: cover CORR_COVER of the in-range values; the
-        # zig tail joins the exceptions (patched), like ref/patch._pick_bits
-        zr = zig[okr] if okr.any() else np.zeros(1, np.uint32)
+        # correction width: cover CORR_COVER of the plausibly-coverable
+        # in-range values; the zig tail joins the exceptions (patched),
+        # like ref/patch._pick_bits. Uncoverable corrections (-0.0's
+        # 2^32-1, sign flips) are excluded from the quantile — they must
+        # not drag corr_bits toward 32 (beyond CORR_MAX the stream costs
+        # more than the 8-byte exception it avoids, and a 32-bit shift of
+        # a uint32 is C-undefined).
+        cov = okr & (zig < np.uint32(1) << np.uint32(CORR_MAX))
+        zr = zig[cov] if cov.any() else np.zeros(1, np.uint32)
         q = int(np.quantile(zr.astype(np.float64), CORR_COVER, method="lower"))
-        corr_bits = bits_needed(q)
-        ok = okr & (zig < np.uint32(1) << np.uint32(corr_bits))
+        corr_bits = min(bits_needed(q), CORR_MAX)
+        ok = okr & (zig.astype(np.int64) < (1 << corr_bits))
         ex = int((~ok[:n]).sum())
         # benign stand-in for exceptions: the group's min of ok values
         # (keeps offsets narrow); all-exception groups fall back to 0

@@ -217,6 +217,16 @@ def _check_narrow_store(n, rng):
     v = np.repeat(base, 8)[:n]
     out = np.asarray(gt.decode(gt.encode(v, "cascade", codes_scheme="rle")))
     assert out.dtype == v.dtype and (out == v).all(), "narrow cascade LUT"
+    # multi-block narrow plan: ng > the int8 sublane tile (32) so the
+    # grid>1 sublane-aligned narrow lowering compiles on hardware too —
+    # the default-n checks above all fit one block (grid == 1)
+    nb = 40 * GROUP + 13
+    vb = rng.integers(0, 200, nb).astype(np.uint8)
+    colb = gt.encode(vb, "nbit")
+    outb = np.asarray(gt.decode(colb))
+    assert outb.dtype == vb.dtype and (outb == vb).all(), "narrow multi-block"
+    ab = traffic_audit(colb)
+    assert ab["out_bytes"] == 41 * GROUP, ("narrow multi-block store", ab)
 
 
 def main(argv=None) -> int:

@@ -84,6 +84,32 @@ def test_u32_contract_callers_unaffected():
     assert str(u.dtype) == "uint32"
 
 
+def test_narrow_declined_when_vmem_bound():
+    """Sublane alignment would quadruple a scan-heavy block's working set;
+    resolve_narrow declines (kernel stays u32) and decode is still exact
+    through the dtype-driven _to_logical."""
+    n = 40 * GROUP + 5  # grid > 1 at gpb 8, and 32 rows would blow the budget
+    v = (np.arange(n) % 120).astype(np.int8)
+    col = gt.encode(v, "delta")
+    store = api.narrow_store_dtype(col)
+    u = api.get_decoder(col, store)(api.device_streams(col))
+    assert str(u.dtype) == "uint32"  # declined, not mis-aligned
+    out = np.asarray(gt.decode(col))
+    assert out.dtype == v.dtype
+    np.testing.assert_array_equal(out, v)
+
+
+def test_narrow_multiblock_grid():
+    """ng above the int8 sublane tile: the grid>1 aligned narrow plan."""
+    n = 40 * GROUP + 13
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 200, n).astype(np.uint8)
+    col = gt.encode(v, "nbit")
+    u = api.get_decoder(col, api.narrow_store_dtype(col))(api.device_streams(col))
+    assert str(u.dtype) == "uint8"
+    np.testing.assert_array_equal(np.asarray(gt.decode(col)), v)
+
+
 def test_narrow_nullable_roundtrip():
     rng = np.random.default_rng(11)
     v = rng.integers(0, 100, N).astype(np.uint8)
