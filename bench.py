@@ -35,7 +35,7 @@ from giddy_tpu.datagen import gen_column
 # Reference throughput recollections (GB/s decoded, DaMoN'17 — BASELINE.md).
 REF_GBPS = {
     "nbit": 65.0, "for": 65.0, "dict": 65.0, "dzbf": 65.0,
-    "delta": 35.0, "rle": 35.0, "rpe": 35.0, "dzbv": 35.0,
+    "delta": 35.0, "delta2": 35.0, "rle": 35.0, "rpe": 35.0, "dzbv": 35.0,
     "model": 50.0, "bitmap": 50.0, "patched": 50.0, "raw": 100.0, "xordelta": 35.0,
     "cascade": 35.0,  # ~ dict gather atop an rle decode
     "alp": 65.0,  # FOR-shaped decode + a float op (no reference analog)

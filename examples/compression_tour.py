@@ -22,8 +22,8 @@ from giddy_tpu.advisor import suggest
 from giddy_tpu.datagen import gen_column
 
 SCHEMES = [
-    "nbit", "for", "delta", "xordelta", "alp", "dict", "rle", "rpe",
-    "model", "bitmap", "dzbf", "dzbv", "patched", "cascade", "raw",
+    "nbit", "for", "delta", "delta2", "xordelta", "alp", "dict", "rle",
+    "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "cascade", "raw",
 ]
 
 
@@ -42,7 +42,9 @@ def main(log2_n: int = 20) -> None:
         top = suggest(v)[0]
         desc = {
             "nbit": "9-bit ints", "for": "narrow-range timestamps",
-            "delta": "sorted timestamps", "xordelta": "slow-varying float32",
+            "delta": "sorted timestamps",
+            "delta2": "regularly-sampled timestamps",
+            "xordelta": "slow-varying float32",
             "alp": "decimal float32 prices",
             "dict": "40-value vocabulary", "rle": "long status runs",
             "rpe": "long status runs", "model": "linear-trend ints",

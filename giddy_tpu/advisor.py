@@ -15,7 +15,7 @@ from .format import EncodedColumn
 from .util import GROUP
 
 # Candidates in decode-cost order (cheapest first — the tiebreaker).
-CANDIDATES = ["rle", "dict", "cascade", "bitmap", "nbit", "dzbf", "for", "delta", "alp", "xordelta", "model", "dzbv", "patched"]
+CANDIDATES = ["rle", "dict", "cascade", "bitmap", "nbit", "dzbf", "for", "delta", "delta2", "alp", "xordelta", "model", "dzbv", "patched"]
 
 
 def suggest(

@@ -10,8 +10,9 @@ import numpy as np
 # giddy_tpu/selftest.py and tests/test_roofline.py (hand-duplicated lists
 # drift: a new scheme would silently escape the hardware selftest).
 CORE_SCHEMES = [
-    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap",
-    "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta", "alp",
+    "nbit", "for", "delta", "delta2", "dict", "rle", "rpe", "model",
+    "bitmap", "dzbf", "dzbv", "patched", "raw", "cascade", "xordelta",
+    "alp",
 ]
 
 
@@ -37,6 +38,12 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
     if scheme in ("delta", "model"):
         # sorted timestamps (BASELINE configs[1])
         steps = rng.integers(0, 16 if not hard else 2**20, n)
+        return np.cumsum(steps).astype(np.int32) + np.int32(1_600_000_000)
+    if scheme == "delta2":
+        # regularly-sampled timestamps with clock jitter: deltas cluster at
+        # the sample interval, so second differences pack near-zero (the
+        # Gorilla timestamp case). hard = random walk of the interval.
+        steps = 1000 + rng.integers(0, 4 if not hard else 2**20, n)
         return np.cumsum(steps).astype(np.int32) + np.int32(1_600_000_000)
     if scheme == "dict":
         d = 2**16 if hard else 40

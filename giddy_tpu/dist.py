@@ -98,6 +98,12 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         return local({}, {"data": st["data"].reshape(ng, GROUP)})
     if scheme in ("delta", "xordelta"):
         return local(dict(p), {"packed": st["packed"], "anchors": st["anchors"].reshape(ng, 1)})
+    if scheme == "delta2":
+        return local(dict(p), {
+            "packed": st["packed"],
+            "anchors": st["anchors"].reshape(ng, 1),
+            "slopes": st["slopes"].reshape(ng, 1),
+        })
     if scheme == "for":
         gpf = p["frame_len"] // GROUP
         refs_g = np.repeat(st["refs"], gpf)[:ng].reshape(ng, 1)

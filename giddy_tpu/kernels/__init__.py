@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import = registration)
     bitmap,
     cascade,
     delta,
+    delta2,
     dict_,
     dzbv,
     for_,

@@ -24,7 +24,7 @@ from .dict_ import _pad_table, use_lut
 from .lanes import LUT_LANE
 
 # inner schemes whose builders accept the fused ``_lut_d_pad`` stage
-_LUT_INNER = ("rle", "rpe", "delta", "nbit", "for", "dzbf")
+_LUT_INNER = ("rle", "rpe", "delta", "delta2", "nbit", "for", "dzbf")
 
 
 def build(col: EncodedColumn, out_store=None):

@@ -13,6 +13,7 @@ from . import (  # noqa: F401  (import = registration)
     bitmap,
     cascade,
     delta,
+    delta2,
     dict_,
     dzbf,
     dzbv,

@@ -26,7 +26,7 @@ from ..format import EncodedColumn
 from ..util import dtype_to_u32, u32_to_dtype
 
 # Inner schemes must decode int32 code columns with no further nesting.
-INNER_SCHEMES = ("rle", "rpe", "delta", "nbit", "for", "dzbf", "raw")
+INNER_SCHEMES = ("rle", "rpe", "delta", "delta2", "nbit", "for", "dzbf", "raw")
 
 
 def codes_column(col: EncodedColumn, streams: dict | None = None) -> EncodedColumn:

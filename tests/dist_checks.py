@@ -36,7 +36,7 @@ from giddy_tpu.util import GROUP
 from helpers import gen_column
 
 DIST_SCHEMES = [
-    "nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched", "xordelta", "alp",
+    "nbit", "for", "delta", "delta2", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched", "xordelta", "alp",
 ]
 
 

@@ -49,6 +49,7 @@ def test_stream_alignment():
     [
         ("nbit", "nbit_9bit"),
         ("delta", "delta_ts"),
+        ("delta2", "delta2_sampled"),
         ("for", "for_ts"),
         ("dict", "dict_lowcard"),
         ("rle", "rle_flags"),

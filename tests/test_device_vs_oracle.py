@@ -10,7 +10,7 @@ from giddy_tpu.util import GROUP
 
 from helpers import gen_column
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "xordelta", "alp"]
+SCHEMES = ["nbit", "for", "delta", "delta2", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "xordelta", "alp"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)

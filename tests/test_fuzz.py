@@ -9,7 +9,7 @@ import giddy_tpu as gt
 from giddy_tpu.datagen import gen_column
 from giddy_tpu.util import GROUP
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw"]
+SCHEMES = ["nbit", "for", "delta", "delta2", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw"]
 
 
 # sizes snap to a small fixed set so device kernels compile once per

@@ -9,7 +9,7 @@ from giddy_tpu.datagen import gen_column
 from giddy_tpu.partial import decode_groups, decode_ref_groups
 from giddy_tpu.util import GROUP
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched", "alp"]
+SCHEMES = ["nbit", "for", "delta", "delta2", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "raw", "patched", "alp"]
 
 
 def test_dzbv_chunks_share_specializations():

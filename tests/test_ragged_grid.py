@@ -8,7 +8,7 @@ import giddy_tpu as gt
 from giddy_tpu.datagen import gen_column
 from giddy_tpu.util import GROUP
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "model", "dzbf", "dzbv", "patched"]
+SCHEMES = ["nbit", "for", "delta", "delta2", "dict", "rle", "model", "dzbf", "dzbv", "patched"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)

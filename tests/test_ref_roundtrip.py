@@ -9,7 +9,7 @@ from giddy_tpu.util import GROUP
 
 from helpers import EDGE_SIZES, gen_column
 
-SCHEMES = ["nbit", "for", "delta", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "xordelta", "alp"]
+SCHEMES = ["nbit", "for", "delta", "delta2", "dict", "rle", "rpe", "model", "bitmap", "dzbf", "dzbv", "patched", "raw", "xordelta", "alp"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
@@ -41,7 +41,7 @@ def test_edge_sizes(scheme, n):
 
 
 @pytest.mark.parametrize(
-    "scheme", ["nbit", "for", "delta", "dict", "rle", "model", "bitmap", "dzbf", "dzbv", "patched", "alp"]
+    "scheme", ["nbit", "for", "delta", "delta2", "dict", "rle", "model", "bitmap", "dzbf", "dzbv", "patched", "alp"]
 )
 def test_compresses(scheme):
     """Compressible inputs must actually compress (SURVEY.md §5.2.1)."""
