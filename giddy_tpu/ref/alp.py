@@ -69,6 +69,45 @@ def _analyze(v: np.ndarray, e: int):
     return enc, zigzag(corr.astype(np.int32)), ok
 
 
+def _candidate(v: np.ndarray, n_eff: int, cand: int):
+    """Full analysis of exponent ``cand`` over a group-padded array ``v``
+    (n_eff = un-padded element count, for the exception-cost term).
+    Returns (cost, cand, ok, offs, refs, bits, zig, corr_bits, enc)."""
+    ng = v.shape[0] // GROUP
+    enc, zig, okr = _analyze(v, cand)
+    # correction width: cover CORR_COVER of the plausibly-coverable
+    # in-range values; the zig tail joins the exceptions (patched),
+    # like ref/patch._pick_bits. Uncoverable corrections (-0.0's
+    # 2^32-1, sign flips) are excluded from the quantile — they must
+    # not drag corr_bits toward 32 (beyond CORR_MAX the stream costs
+    # more than the 8-byte exception it avoids, and a 32-bit shift of
+    # a uint32 is C-undefined).
+    cov = okr & (zig < np.uint32(1) << np.uint32(CORR_MAX))
+    zr = zig[cov] if cov.any() else np.zeros(1, np.uint32)
+    q = int(np.quantile(zr.astype(np.float64), CORR_COVER, method="lower"))
+    corr_bits = min(bits_needed(q), CORR_MAX)
+    ok = okr & (zig.astype(np.int64) < (1 << corr_bits))
+    ex = int((~ok[:n_eff]).sum())
+    # benign stand-in for exceptions: the group's min of ok values
+    # (keeps offsets narrow); all-exception groups fall back to 0
+    gmin = np.where(ok, enc, np.int64(2**62)).reshape(ng, GROUP).min(axis=1)
+    gmin = np.where(gmin == 2**62, 0, gmin)
+    encf = np.where(ok, enc, np.repeat(gmin, GROUP))
+    refs = encf.reshape(ng, GROUP).min(axis=1)
+    offs = (encf - np.repeat(refs, GROUP)).astype(np.uint32)
+    bits = bits_needed(int(offs.max(initial=0)))
+    cost = ng * GROUP * (bits + corr_bits) / 8 + ex * 8 + ng * 4
+    return (cost, cand, ok, offs, refs, bits, np.where(ok, zig, 0), corr_bits)
+
+
+# Above this many groups, the exponent search runs on an evenly-strided
+# group sample instead of 11 full-column analyses (the full column still
+# gets ONE exact analysis pass with the winner — sampling only steers the
+# e choice; exceptions keep every choice lossless). 16 groups keeps the
+# small-column path byte-identical (golden digests).
+SAMPLE_GROUPS = 16
+
+
 def encode(
     values: np.ndarray,
     *,
@@ -84,33 +123,16 @@ def encode(
     v = pad_to_groups(u, fill=fill).view(np.float32)
     ng = num_groups(n)
 
-    best = None
-    for cand in [e] if e is not None else range(E_MAX + 1):
-        enc, zig, okr = _analyze(v, cand)
-        # correction width: cover CORR_COVER of the plausibly-coverable
-        # in-range values; the zig tail joins the exceptions (patched),
-        # like ref/patch._pick_bits. Uncoverable corrections (-0.0's
-        # 2^32-1, sign flips) are excluded from the quantile — they must
-        # not drag corr_bits toward 32 (beyond CORR_MAX the stream costs
-        # more than the 8-byte exception it avoids, and a 32-bit shift of
-        # a uint32 is C-undefined).
-        cov = okr & (zig < np.uint32(1) << np.uint32(CORR_MAX))
-        zr = zig[cov] if cov.any() else np.zeros(1, np.uint32)
-        q = int(np.quantile(zr.astype(np.float64), CORR_COVER, method="lower"))
-        corr_bits = min(bits_needed(q), CORR_MAX)
-        ok = okr & (zig.astype(np.int64) < (1 << corr_bits))
-        ex = int((~ok[:n]).sum())
-        # benign stand-in for exceptions: the group's min of ok values
-        # (keeps offsets narrow); all-exception groups fall back to 0
-        gmin = np.where(ok, enc, np.int64(2**62)).reshape(ng, GROUP).min(axis=1)
-        gmin = np.where(gmin == 2**62, 0, gmin)
-        encf = np.where(ok, enc, np.repeat(gmin, GROUP))
-        refs = encf.reshape(ng, GROUP).min(axis=1)
-        offs = (encf - np.repeat(refs, GROUP)).astype(np.uint32)
-        bits = bits_needed(int(offs.max(initial=0)))
-        cost = ng * GROUP * (bits + corr_bits) / 8 + ex * 8 + ng * 4
-        if best is None or cost < best[0]:
-            best = (cost, cand, ok, offs, refs, bits, np.where(ok, zig, 0), corr_bits)
+    if e is not None:
+        cands = [e]
+    elif ng > SAMPLE_GROUPS:
+        idx = np.unique(np.linspace(0, ng - 1, SAMPLE_GROUPS).astype(np.int64))
+        vs = v.reshape(ng, GROUP)[idx].reshape(-1)
+        scored = [_candidate(vs, vs.shape[0], c)[:2] for c in range(E_MAX + 1)]
+        cands = [min(scored)[1]]
+    else:
+        cands = range(E_MAX + 1)
+    best = min(_candidate(v, n, cand) for cand in cands)
     _, exp_e, ok, offs, refs, bits, zig, corr_bits = best
     pos = np.nonzero(~ok[:n])[0].astype(np.int32)
     patch_val = u[pos.astype(np.int64)].view(np.int32)

@@ -25,22 +25,6 @@ from ..util import (
 from .lmp import lmp_pack, lmp_unpack
 
 
-def _fit_linear_int(frame: np.ndarray) -> tuple[int, int]:
-    """Integer least-squares-ish fit: slope from endpoints median, intercept
-    minimizing residual range. Exactness doesn't matter (any (a,b) is valid);
-    compression does."""
-    m = frame.shape[0]
-    if m < 2:
-        return int(frame[0]) if m else 0, 0
-    b = int(np.round((float(frame[-1]) - float(frame[0])) / (m - 1)))
-    pred = (np.arange(m, dtype=np.int64) * b) & 0xFFFFFFFF
-    resid = (frame.astype(np.int64) - pred) & 0xFFFFFFFF
-    # Choose a = min residual (unsigned) so offsets are non-negative-ish;
-    # then re-center via signed residuals to keep zigzag small.
-    a = int(resid.astype(np.uint32).astype(np.int64).min())
-    return a, b
-
-
 def encode(
     values: np.ndarray,
     *,
@@ -61,16 +45,22 @@ def encode(
     nf = cdiv(n_pad, frame_len)
     upad = np.full(nf * frame_len, fill, dtype=np.uint32)
     upad[:n_pad] = u
-    frames = upad.reshape(nf, frame_len).astype(np.int64)
-    coef_a = np.empty(nf, dtype=np.int32)
-    coef_b = np.empty(nf, dtype=np.int32)
-    for f in range(nf):
-        a, b = _fit_linear_int(frames[f])
-        coef_a[f] = np.int64(a).astype(np.int32)
-        coef_b[f] = np.int64(b).astype(np.int32)
-    pos = np.arange(frame_len, dtype=np.int64)
-    pred = (coef_a[:, None].astype(np.int64) + coef_b[:, None].astype(np.int64) * pos) & 0xFFFFFFFF
-    resid = ((frames - pred) & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
+    frames = upad.reshape(nf, frame_len)
+    # Integer linear fit, all frames at once: slope = rounded float64
+    # endpoint slope, intercept = unsigned-min residual (keeps offsets
+    # non-negative-ish and zigzag small). Any (a, b) decodes losslessly —
+    # only compression is at stake. All arithmetic wraps in uint32; frames
+    # are always full (padded), so frame_len >= 2 is guaranteed.
+    b64 = np.round(
+        (frames[:, -1].astype(np.float64) - frames[:, 0].astype(np.float64)) / (frame_len - 1)
+    ).astype(np.int64)
+    coef_b = b64.astype(np.uint32).view(np.int32)
+    pos = np.arange(frame_len, dtype=np.uint32)
+    slope = coef_b.view(np.uint32)[:, None] * pos  # wraps like (i*b) & 0xFFFFFFFF
+    resid0 = frames - slope  # uint32 wrap == (frame - pred(a=0)) mod 2^32
+    coef_a = resid0.min(axis=1).view(np.int32)
+    pred = coef_a.view(np.uint32)[:, None] + slope
+    resid = (frames - pred).view(np.int32)
     z = zigzag(resid.reshape(-1)[:n_pad])
     if bits is None:
         bits = bits_needed(int(z.max(initial=0)))
