@@ -247,11 +247,56 @@ def _spec_for(arr: np.ndarray, axis, axis1: bool) -> P:
     return P(*dims)
 
 
+def _mesh_key(mesh: Mesh, axis) -> tuple:
+    return (
+        tuple(mesh.axis_names),
+        mesh.devices.shape,
+        tuple(d.id for d in mesh.devices.flat),
+        axis if isinstance(axis, str) else tuple(axis),
+    )
+
+
+def _df_signature(df: DistForm) -> tuple:
+    """Everything the jitted decoder's *structure* depends on. dist_form can
+    change shape with stream CONTENTS for the same static_key (e.g. rle's
+    tile-chain -> scatter fallback under pathological run density), so the
+    fn cache verifies this signature instead of trusting static_key alone."""
+    import json
+
+    return (
+        df.local_col.static_key(),
+        tuple(sorted((k, v.shape, str(v.dtype)) for k, v in df.sharded.items())),
+        tuple(sorted((k, v.shape, str(v.dtype)) for k, v in df.replicated.items())),
+        df.bitmap_axis1,
+        df.shard_leading,
+        tuple(sorted(df.patch_streams)) if df.patch_streams else None,
+        json.dumps(df.patch_params, sort_keys=True) if df.patch_params else None,
+    )
+
+
+# (col static_key, mesh key) -> (df signature, jitted fn). Hit = reuse the
+# traced/compiled program; only dist_form + device_put run per call.
+_DECODER_FN_CACHE: dict[tuple, tuple] = {}
+
+
 def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
     """Returns (jitted_fn, device_args) decoding the whole column on the
-    mesh; output is the uint32 value array (n_pad_global,), group-sharded."""
+    mesh; output is the uint32 value array (n_pad_global,), group-sharded.
+
+    The fn is cached per (column static key, mesh); repeated calls with
+    fresh data re-run only the host restructure (dist_form) and the input
+    placement (device_put — the data genuinely must move each call)."""
     nd = int(np.prod([mesh.shape[a] for a in (axis if isinstance(axis, tuple) else (axis,))]))
     df = dist_form(col, nd)
+    key = (col.static_key(), _mesh_key(mesh, axis))
+    sig = _df_signature(df)
+    cached = _DECODER_FN_CACHE.get(key)
+    if cached is None or cached[0] != sig:
+        _DECODER_FN_CACHE[key] = (sig, _build_fn(df, mesh, axis))
+    return _DECODER_FN_CACHE[key][1], _device_args(df, mesh, axis)
+
+
+def _build_fn(df: DistForm, mesh: Mesh, axis):
     builder = registry.get(df.local_col.scheme).decode_device
     local_decode = builder(df.local_col)
     names = sorted(df.sharded) + sorted(df.replicated)
@@ -300,10 +345,14 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
             u = u.at[pos].set(ps["patch_val"])
         return u
 
-    jfn = jax.jit(full)
+    return jax.jit(full)
 
-    # Place inputs with their target shardings (replicated streams broadcast
-    # once here — the column's only communication).
+
+def _device_args(df: DistForm, mesh: Mesh, axis) -> list:
+    """Place inputs with their target shardings (replicated streams broadcast
+    once here — the column's only communication). Argument order matches
+    _build_fn: sorted sharded, sorted replicated, sorted patch streams."""
+
     def _u32(a):
         return a.view(np.uint32) if a.dtype == np.int32 else a
 
@@ -313,9 +362,10 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
         args.append(jax.device_put(_u32(df.sharded[k]), NamedSharding(mesh, spec)))
     for k in sorted(df.replicated):
         args.append(jax.device_put(_u32(df.replicated[k]), NamedSharding(mesh, P())))
-    for k in pnames:
-        args.append(jax.device_put(_u32(df.patch_streams[k]), NamedSharding(mesh, P())))
-    return jfn, args
+    if df.patch_params and df.patch_params["count"]:
+        for k in sorted(df.patch_streams):
+            args.append(jax.device_put(_u32(df.patch_streams[k]), NamedSharding(mesh, P())))
+    return args
 
 
 def decode_sharded(col: EncodedColumn, mesh: Mesh | None = None, axis: str = "d"):
@@ -344,26 +394,26 @@ def decode_columns_sharded(
 ) -> dict:
     """Sharded decode of a whole mixed-column container (BASELINE
     configs[4]) in one jitted program over the mesh. The combined program
-    is cached per (columns, mesh) configuration."""
+    is cached per (columns, mesh) configuration; per-column decoder fns come
+    from build_sharded_decoder's own cache, and the combined program is
+    rebuilt whenever any of them changed (so it can never close over stale
+    fns even if a column's dist form shifts structure for the same static
+    key)."""
     from .api import _to_logical
 
     mesh = mesh or default_mesh(axis)
     built = [build_sharded_decoder(c, mesh, axis) for c in cols]
-    fns = [f for f, _ in built]
+    fns = tuple(f for f, _ in built)
     args = [a for _, a in built]
-    key = (
-        tuple(c.static_key() for c in cols),
-        tuple(mesh.axis_names),
-        mesh.devices.shape,
-        axis if isinstance(axis, str) else tuple(axis),
-    )
-    run = _SHARDED_COLUMNS_CACHE.get(key)
-    if run is None:
+    key = (tuple(c.static_key() for c in cols), _mesh_key(mesh, axis))
+    cached = _SHARDED_COLUMNS_CACHE.get(key)
+    if cached is None or cached[0] != fns:
 
         @jax.jit
         def run(args_list):
             return [f(*a) for f, a in zip(fns, args_list)]
 
-        _SHARDED_COLUMNS_CACHE[key] = run
+        _SHARDED_COLUMNS_CACHE[key] = (fns, run)
+    run = _SHARDED_COLUMNS_CACHE[key][1]
     outs = run(args)
     return {c.name: _to_logical(u, c.dtype)[: c.n] for c, u in zip(cols, outs)}

@@ -72,7 +72,7 @@ def _analyze(v: np.ndarray, e: int):
 def _candidate(v: np.ndarray, n_eff: int, cand: int):
     """Full analysis of exponent ``cand`` over a group-padded array ``v``
     (n_eff = un-padded element count, for the exception-cost term).
-    Returns (cost, cand, ok, offs, refs, bits, zig, corr_bits, enc)."""
+    Returns (cost, cand, ok, offs, refs, bits, zig, corr_bits)."""
     ng = v.shape[0] // GROUP
     enc, zig, okr = _analyze(v, cand)
     # correction width: cover CORR_COVER of the plausibly-coverable
@@ -128,7 +128,11 @@ def encode(
     elif ng > SAMPLE_GROUPS:
         idx = np.unique(np.linspace(0, ng - 1, SAMPLE_GROUPS).astype(np.int64))
         vs = v.reshape(ng, GROUP)[idx].reshape(-1)
-        scored = [_candidate(vs, vs.shape[0], c)[:2] for c in range(E_MAX + 1)]
+        # the linspace endpoint always samples the tail group, whose pad
+        # fill must not count as real elements in the exception-cost term;
+        # pads sit at the end of the sample (idx ascending, last = ng-1)
+        n_eff = vs.shape[0] - (ng * GROUP - n)
+        scored = [_candidate(vs, n_eff, c)[:2] for c in range(E_MAX + 1)]
         cands = [min(scored)[1]]
     else:
         cands = range(E_MAX + 1)
