@@ -418,6 +418,10 @@ def main() -> None:
     outdir = pathlib.Path(__file__).parent / "results"
     outdir.mkdir(exist_ok=True)
     _regression_floor(detail, outdir)
+    try:
+        detail["ops_roofline"] = _ops_table(outdir)
+    except Exception as e:  # census must never sink the bench line
+        detail["ops_roofline_error"] = f"{type(e).__name__}: {e}"
     (outdir / "bench_detail.json").write_text(json.dumps(detail, indent=2))
     if not args.no_selftest:
         detail["selftest_pass"] = _run_selftest(outdir)
@@ -439,6 +443,34 @@ def main() -> None:
     print(json.dumps(line))
 
 
+def _ops_table(outdir: pathlib.Path) -> dict:
+    """Per-scheme compute census (roofline.ops_audit) — pure tracing, no
+    device execution, so it runs in-process every bench round and the
+    table lands in results/ops_roofline.json (VERDICT r3 missing #2)."""
+    from giddy_tpu.datagen import gen_column
+    from giddy_tpu.roofline import ops_audit
+    from giddy_tpu.util import GROUP
+
+    rng = np.random.default_rng(11)
+    table = {}
+    for scheme in ALL:
+        col = gt.encode(gen_column(scheme, 8 * GROUP, rng), scheme, name=f"ops_{scheme}")
+        a = ops_audit(col)
+        table[scheme] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in a.items()
+            if k not in ("budget",)
+        }
+        table[scheme]["budget_vpu"] = round(a["budget"]["vpu_ops_per_elem"], 2)
+        table[scheme]["budget_mxu"] = round(a["budget"]["mxu_macs_per_elem"], 1)
+        print(f"[bench] ops {scheme:9s} vpu {a['vpu_ops_per_elem']:7.2f}/elem "
+              f"(budget {a['budget']['vpu_ops_per_elem']:6.1f}) "
+              f"mxu {a['mxu_macs_per_elem']:6.0f} "
+              f"{'memory-bound' if a['memory_bound'] else 'OVER'}", file=sys.stderr)
+    (outdir / "ops_roofline.json").write_text(json.dumps(table, indent=2))
+    return table
+
+
 def _run_selftest(outdir: pathlib.Path) -> bool:
     """Device-vs-oracle + traffic-audit selftest in a fresh process (the
     per-round hardware re-proof of the pltpu.roll scan paths the CPU suite
@@ -448,7 +480,7 @@ def _run_selftest(outdir: pathlib.Path) -> bool:
 
     proc = subprocess.run(
         [sys.executable, "-m", "giddy_tpu.selftest", "--out", str(outdir / "selftest.json")],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3600,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     ok = proc.returncode == 0

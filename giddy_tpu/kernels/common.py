@@ -8,6 +8,7 @@ Launch-config resolution (the analog of libgiddy's
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -20,12 +21,39 @@ from ..registry import Plan, plan
 from ..util import GROUP
 
 
-@functools.cache
+_FORCE_COMPILED_TRACE = False  # see force_compiled_trace()
+
+
 def use_interpret() -> bool:
     """Pallas Mosaic kernels need a real TPU; on CPU (tests, the virtual
     8-device mesh) run the same kernels in interpreter mode (the reference's
     'sanitizer' analog too — SURVEY.md §6)."""
+    if _FORCE_COMPILED_TRACE:
+        return False
+    return _backend_interpret()
+
+
+@functools.cache
+def _backend_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+@contextlib.contextmanager
+def force_compiled_trace():
+    """TRACE-ONLY override: build decoders on their compiled (Mosaic) path
+    regardless of backend, so the ops census (roofline.ops_audit) sees the
+    real kernel structure — MXU matmul scans, roll networks, gather chains —
+    on the CPU backend too. Anything built under this context must only ever
+    be traced (jax.make_jaxpr); executing it off-TPU would hand Mosaic
+    kernels to an XLA:CPU lowering. Callers must also bypass the api decoder
+    cache (api.get_decoder) for the same reason."""
+    global _FORCE_COMPILED_TRACE
+    prev = _FORCE_COMPILED_TRACE
+    _FORCE_COMPILED_TRACE = True
+    try:
+        yield
+    finally:
+        _FORCE_COMPILED_TRACE = prev
 
 
 def vmem():
