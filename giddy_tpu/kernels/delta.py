@@ -12,7 +12,7 @@ from .. import registry
 from ..format import EncodedColumn
 from ..util import LANES, GROUP, num_groups
 from .common import row_blocked_call, store
-from .lanes import group_cumsum, scan_scratch_bytes, unpack_lanes, unzigzag
+from .lanes import scan_scratch_bytes, signed_cumsum, unpack_lanes, unzigzag
 
 
 def build(col: EncodedColumn, out_store=None):
@@ -22,7 +22,9 @@ def build(col: EncodedColumn, out_store=None):
 
     def kernel(in_ref, anchor_ref, out_ref):
         d = unzigzag(unpack_lanes(in_ref[:], bits))
-        store(out_ref, group_cumsum(d) + anchor_ref[:])
+        # deltas are <bits>-wide: signed_cumsum scans only ceil(bits/8)
+        # byte planes (one small-path matmul for the common bits<=7 case)
+        store(out_ref, signed_cumsum(d, bits) + anchor_ref[:])
 
     import jax.numpy as jnp
 

@@ -19,6 +19,7 @@ from .lanes import (
     group_cumsum,
     linear_iota,
     scan_scratch_bytes,
+    signed_cumsum,
     unpack_lanes,
     unzigzag,
 )
@@ -31,7 +32,10 @@ def build(col: EncodedColumn, out_store=None):
 
     def kernel(in_ref, anchor_ref, slope_ref, out_ref):
         s = unzigzag(unpack_lanes(in_ref[:], bits))
-        cc = group_cumsum(group_cumsum(s))
+        # first scan: second-differences are <bits>-wide (narrow planes);
+        # its output (first differences) is full-width, so the outer scan
+        # stays the generic 4-plane fold
+        cc = group_cumsum(signed_cumsum(s, bits))
         pos1 = linear_iota(out_ref.shape[0]) + jnp.uint32(1)
         store(out_ref, anchor_ref[:] + slope_ref[:] * pos1 + cc)
 

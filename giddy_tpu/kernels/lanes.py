@@ -264,27 +264,32 @@ def _mxu_cumsum(x: jax.Array, byte_planes: tuple[int, ...], small: bool) -> jax.
     lj = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 1)
     tri = (li <= lj).astype(jnp.int8)
     kmax = max(byte_planes)
-    acc = None  # within-tile inclusive cumsum, planes folded, uint32
-    tot = None  # (rows, nt) per-tile totals, planes folded, uint32
-    if not small:
-        pos1 = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1) + 1
+    # int32 accumulation of (dot_k << 8k): shifts/adds wrap bitwise, and the
+    # whole fold is exact mod 2**32 by linearity — one convert at the end
+    # instead of one per plane (round-4 ops-census trim)
+    acc = None
     for k in byte_planes:
         b = y if k == 0 else y >> jnp.uint32(8 * k)
         if k < kmax:
             b = b & jnp.uint32(0xFF)
         if small:
             p = b.astype(jnp.int32).astype(jnp.int8)
-            t = jnp.dot(p, tri, preferred_element_type=jnp.int32)
         else:
             p = (b.astype(jnp.int32) - 128).astype(jnp.int8)
-            t = jnp.dot(p, tri, preferred_element_type=jnp.int32) + 128 * pos1
-        c = t.astype(jnp.uint32)
-        tk = c[:, SCAN_TILE - 1 :].reshape(rows, nt)
+        t = jnp.dot(p, tri, preferred_element_type=jnp.int32)
         if k:
-            c = c << jnp.uint32(8 * k)
-            tk = tk << jnp.uint32(8 * k)
-        acc = c if acc is None else acc + c
-        tot = tk if tot is None else tot + tk
+            t = t << jnp.int32(8 * k)
+        acc = t if acc is None else acc + t
+    if not small:
+        # one fused bias un-fold for every plane: each input was biased by
+        # -128, so position j's inclusive sum is short 128*(j+1) per plane,
+        # scaled 2**(8k) — a single (j+1) * (128 * sum_k 2**(8k)) add
+        bias = (128 * sum(1 << (8 * k) for k in byte_planes)) & 0xFFFFFFFF
+        pos1 = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1) + 1
+        acc = acc + pos1 * jnp.int32(bias if bias < 2**31 else bias - 2**32)
+    acc = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+    # per-tile inclusive totals = the corrected scan's last column
+    tot = acc[:, SCAN_TILE - 1 :].reshape(rows, nt)
     # exclusive prefix of the u32 tile totals: tiny roll-scan on 1/128 width
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
     carry = jnp.where(col >= 1, _lane_roll(tot, 1), jnp.uint32(0))
@@ -332,24 +337,136 @@ def group_cumsum(
     return _mxu_cumsum(x, byte_planes, small)
 
 
-def group_cumxor(x: jax.Array) -> jax.Array:
-    """Per-row inclusive prefix-XOR over the GROUP dimension — the XOR
-    twin of :func:`group_cumsum` (Hillis–Steele roll-scan; XOR is
-    associative with identity 0). Backbone of xordelta decode. Stays on
-    the VPU roll network in every mode: XOR is not linear over the
-    integers, so the MXU matmul decomposition does not apply."""
+def signed_cumsum(d: jax.Array, bits: int) -> jax.Array:
+    """Inclusive cumsum (uint32 wrap space) of signed deltas known to be
+    unzigzags of a ``bits``-wide stream, i.e. d in [-2**(bits-1), 2**(bits-1)).
+
+    Negative deltas light up all four byte planes in wrap space, so a naive
+    :func:`group_cumsum` always pays the 4-plane MXU fold. Biasing by
+    c = 2**(bits-1) first puts every addend in [0, 2**bits) — only
+    ceil(bits/8) planes are nonzero — and the bias un-folds exactly as
+    (j+1)*c by linearity (mod 2**32). For the common narrow-delta columns
+    (bits <= 8) the scan collapses to ONE small-path int8 matmul; the
+    round-4 ops census (roofline.ops_audit) is the structural record.
+    """
+    if bits >= 25:  # 4 planes either way: the bias would only add ops
+        return group_cumsum(d)
+    c = jnp.uint32(1 << (bits - 1)) if bits else jnp.uint32(0)
+    planes = tuple(range((bits + 7) // 8)) or (0,)
+    s = group_cumsum(d + c, byte_planes=planes, small=bits <= 7)
+    pos1 = jax.lax.broadcasted_iota(jnp.uint32, d.shape, 1) + jnp.uint32(1)
+    return s - pos1 * c
+
+
+@functools.cache
+def xor_mode() -> str:
+    """Which prefix-XOR implementation compiled decoders use (A/B knob,
+    mirroring :func:`scan_mode`): ``auto`` (default — MXU bit-plane parity
+    when the stream is <= XOR_MXU_MAX bits, else the two-level tiled roll),
+    ``mxu``, ``tiled``, or ``flat`` (the round-1..3 single-level 15-step
+    roll network, kept for A/B)."""
+    return os.environ.get("GIDDY_TPU_XOR", "auto")
+
+
+# MXU parity break-even: per active bit plane the parity scan costs ~7 VPU
+# ops + one 128-wide int8 matmul, vs ~30 VPU ops flat for the two-level
+# roll network — so the matmul form wins only for very narrow XOR streams.
+XOR_MXU_MAX = 4
+
+
+def _flat_cumxor(x: jax.Array) -> jax.Array:
+    """Single-level Hillis–Steele roll network over the full row width:
+    log2(width) steps x ~4 full-width VPU ops — the original design, kept
+    as the ragged-width fallback and the A/B baseline."""
+    rows, width = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    k = 1
+    while k < width:
+        x = x ^ jnp.where(col >= k, _lane_roll(x, k), jnp.uint32(0))
+        k *= 2
+    return x
+
+
+def _tiled_cumxor(x: jax.Array) -> jax.Array:
+    """Two-level prefix-XOR: 7-step roll network within 128-lane tiles,
+    then an 8-step roll network over the 1/128-width tile totals, then one
+    broadcast-XOR — ~half the full-width VPU ops of the flat network
+    (log2(128) instead of log2(GROUP) full-width steps; the total-scan runs
+    on 1/128 of the data). Same reshape/repeat shapes as _mxu_cumsum, whose
+    Mosaic lowering is hardware-proved every round."""
+    rows, width = x.shape
+    nt = width // SCAN_TILE
+    y = x.reshape(rows * nt, SCAN_TILE)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1)
+    k = 1
+    while k < SCAN_TILE:
+        y = y ^ jnp.where(col >= k, _lane_roll(y, k), jnp.uint32(0))
+        k *= 2
+    tot = y[:, SCAN_TILE - 1 :].reshape(rows, nt)
+    colt = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
+    carry = jnp.where(colt >= 1, _lane_roll(tot, 1), jnp.uint32(0))
+    k = 1
+    while k < nt:
+        carry = carry ^ jnp.where(colt >= k, _lane_roll(carry, k), jnp.uint32(0))
+        k *= 2
+    return y.reshape(rows, width) ^ jnp.repeat(carry, SCAN_TILE, axis=1)
+
+
+def _mxu_cumxor(x: jax.Array, bits: int) -> jax.Array:
+    """MXU bit-plane parity prefix-XOR (VERDICT r3 next #4): prefix-XOR of
+    bit b is the parity of the prefix-COUNT of bit b, and prefix-counts are
+    exactly the triangular int8 matmul of :func:`_mxu_cumsum` — so each of
+    the ``bits`` active planes costs one 128-wide dot plus a mask/shift/or
+    fold. Wins over the roll networks only when the encoder bounds the
+    stream narrow (bits <= XOR_MXU_MAX); the caller gates on that."""
+    rows, width = x.shape
+    nt = width // SCAN_TILE
+    y = x.reshape(rows * nt, SCAN_TILE)
+    li = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 1)
+    tri = (li <= lj).astype(jnp.int8)
+    acc = None
+    for b in range(bits):
+        p = y >> jnp.uint32(b) if b else y
+        p = (p & jnp.uint32(1)).astype(jnp.int32).astype(jnp.int8)
+        t = jnp.dot(p, tri, preferred_element_type=jnp.int32) & jnp.int32(1)
+        if b:
+            t = t << jnp.int32(b)
+        acc = t if acc is None else acc | t
+    acc = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+    tot = acc[:, SCAN_TILE - 1 :].reshape(rows, nt)
+    colt = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
+    carry = jnp.where(colt >= 1, _lane_roll(tot, 1), jnp.uint32(0))
+    k = 1
+    while k < nt:
+        carry = carry ^ jnp.where(colt >= k, _lane_roll(carry, k), jnp.uint32(0))
+        k *= 2
+    return acc.reshape(rows, width) ^ jnp.repeat(carry, SCAN_TILE, axis=1)
+
+
+def group_cumxor(x: jax.Array, bits: int | None = None) -> jax.Array:
+    """Per-row inclusive prefix-XOR over the GROUP dimension — the XOR twin
+    of :func:`group_cumsum`. Backbone of xordelta decode.
+
+    ``bits``: the caller's static bound on active bit planes (xordelta's
+    LMP width). XOR is not linear over the integers, so the byte-plane
+    matmul of the cumsum does not apply wholesale; instead (round 4):
+    narrow streams ride a per-bit-plane MXU parity scan, everything else a
+    two-level tiled roll network (~half the flat network's VPU ops). See
+    :func:`xor_mode` for the A/B knob.
+    """
     from .common import use_interpret  # deferred: avoid import cycle at init
 
     if use_interpret():
         return jax.lax.associative_scan(jnp.bitwise_xor, x, axis=1)
-
-    rows = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, GROUP), 1)
-    k = 1
-    while k < GROUP:
-        x = x ^ jnp.where(col >= k, _lane_roll(x, k), jnp.uint32(0))
-        k *= 2
-    return x
+    if bits == 0:
+        return x  # all-zero stream: prefix-XOR is the identity
+    mode = xor_mode()
+    if x.shape[1] % SCAN_TILE or mode == "flat":
+        return _flat_cumxor(x)
+    if mode == "mxu" or (mode == "auto" and bits is not None and bits <= XOR_MXU_MAX):
+        return _mxu_cumxor(x, bits if bits is not None else 32)
+    return _tiled_cumxor(x)
 
 
 def linear_iota(rows: int) -> jax.Array:

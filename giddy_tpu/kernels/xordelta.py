@@ -21,7 +21,7 @@ def build(col: EncodedColumn):
 
     def kernel(in_ref, anchor_ref, out_ref):
         z = unpack_lanes(in_ref[:], bits)
-        out_ref[:] = group_cumxor(z) ^ anchor_ref[:]
+        out_ref[:] = group_cumxor(z, bits) ^ anchor_ref[:]
 
     call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES, 1])
 

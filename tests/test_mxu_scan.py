@@ -81,8 +81,48 @@ def test_wraparound():
     assert (out == _want(x)).all()
 
 
+@pytest.mark.parametrize("bits", [1, 3, 7, 8, 9, 15, 16, 17, 24, 25, 32])
+def test_signed_cumsum(bits):
+    """Biased narrow-plane scan of unzigzagged <bits>-wide deltas (round 4):
+    exact for the full signed range at every width, including the >=25-bit
+    passthrough to the generic 4-plane scan."""
+    rng = np.random.default_rng(bits)
+    lo = -(1 << (bits - 1))
+    d = rng.integers(lo, 1 << (bits - 1), (3, GROUP), dtype=np.int64).astype(
+        np.int32
+    ).view(np.uint32)
+    # force the compiled path: group_cumsum consults use_interpret()
+    from giddy_tpu.kernels.common import force_compiled_trace
+
+    with force_compiled_trace():
+        out = np.asarray(lanes.signed_cumsum(jnp.asarray(d), bits))
+    assert (out == _want(d)).all()
+
+
 def test_roll_scan_matches():
     rng = np.random.default_rng(11)
     x = rng.integers(0, 2**32, (3, GROUP), dtype=np.uint32)
     out = np.asarray(_roll_cumsum(jnp.asarray(x)))
     assert (out == _want(x)).all()
+
+
+def _want_xor(x: np.ndarray) -> np.ndarray:
+    return np.bitwise_xor.accumulate(x, axis=1)
+
+
+@pytest.mark.parametrize("rows", [1, 3, 8])
+def test_tiled_cumxor(rows):
+    rng = np.random.default_rng(rows + 100)
+    x = rng.integers(0, 2**32, (rows, GROUP), dtype=np.uint32)
+    out = np.asarray(lanes._tiled_cumxor(jnp.asarray(x)))
+    assert (out == _want_xor(x)).all()
+    flat = np.asarray(lanes._flat_cumxor(jnp.asarray(x)))
+    assert (flat == _want_xor(x)).all()
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4, 9, 32])
+def test_mxu_cumxor(bits):
+    rng = np.random.default_rng(bits + 200)
+    x = rng.integers(0, 1 << bits, (3, GROUP), dtype=np.uint64).astype(np.uint32)
+    out = np.asarray(lanes._mxu_cumxor(jnp.asarray(x), bits))
+    assert (out == _want_xor(x)).all()
