@@ -35,10 +35,25 @@ def gen_column(scheme: str, n: int, rng: np.random.Generator, *, hard: bool = Fa
         # sign/exponent/high-mantissa bits, so bitpattern XORs pack narrow
         steps = rng.normal(0, 1e-3 if not hard else 1e6, n)
         return (np.cumsum(steps) + 300.0).astype(np.float32)
-    if scheme in ("delta", "model"):
+    if scheme == "delta":
         # sorted timestamps (BASELINE configs[1])
         steps = rng.integers(0, 16 if not hard else 2**20, n)
         return np.cumsum(steps).astype(np.int32) + np.int32(1_600_000_000)
+    if scheme == "model":
+        # piecewise polynomial segments (ramp/decay profiles), one per
+        # GROUP frame: curvature where c != 0, plain ramps where c == 0 —
+        # exercises the per-frame linear/quadratic selection (round 4).
+        # hard = wide noise drowning the model.
+        fl = 32768
+        nf = (n + fl - 1) // fl or 1
+        c = rng.integers(-1, 2, nf)  # curvature in {-1, 0, 1}: 0 = linear frame
+        b = rng.integers(-50, 50, nf)
+        a = rng.integers(2**28, 2**29, nf)  # keeps every arc in [0, 2^31)
+        noise = rng.integers(-7, 8 if not hard else 2**20, n)
+        p = np.arange(n, dtype=np.int64)
+        f, q = p // fl, p % fl
+        v = a[f] + b[f] * q + c[f] * q * (q - (fl - 1)) + noise
+        return (v & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     if scheme == "delta2":
         # regularly-sampled timestamps with clock jitter: deltas cluster at
         # the sample interval, so second differences pack near-zero (the

@@ -114,7 +114,7 @@ def dist_form(col: EncodedColumn, n_shards: int) -> DistForm:
         pre = k_model.prep(col)  # host-expanded (ng,1) per-group coefficients
         return local(
             {"bits": p["bits"], "frame_len": GROUP, "kind": p["kind"]},
-            {"packed": pre["packed"], "a_g": pre["a_g"], "b_g": pre["b_g"]},
+            {k: pre[k] for k in ("packed", "a_g", "b_g", *(["c_g"] if "c_g" in pre else []))},
         )
     if scheme == "dict":
         return local(dict(p), {"codes": st["codes"]}, repl={"values": st["values"]})

@@ -45,30 +45,36 @@ def test_stream_alignment():
 
 
 @pytest.mark.parametrize(
-    "scheme,digest_name",
+    "scheme,digest_name,gen",
     [
-        ("nbit", "nbit_9bit"),
-        ("delta", "delta_ts"),
-        ("delta2", "delta2_sampled"),
-        ("for", "for_ts"),
-        ("dict", "dict_lowcard"),
-        ("rle", "rle_flags"),
-        ("rpe", "rpe_flags"),
-        ("model", "model_linear"),
-        ("bitmap", "bitmap_4"),
-        ("dzbf", "dzbf_2b"),
-        ("dzbv", "dzbv_mixed"),
-        ("patched", "patched_for"),
-        ("raw", "raw_rand"),
-        ("cascade", "cascade_rledict"),
-        ("xordelta", "xordelta_sensor"),
-        ("alp", "alp_prices"),
+        ("nbit", "nbit_9bit", None),
+        ("delta", "delta_ts", None),
+        ("delta2", "delta2_sampled", None),
+        ("for", "for_ts", None),
+        ("dict", "dict_lowcard", None),
+        ("rle", "rle_flags", None),
+        ("rpe", "rpe_flags", None),
+        # model_linear's canonical input predates the datagen model column
+        # becoming curved (round 4): gen_column("delta") draws the identical
+        # sorted-timestamp bytes the original shared generator produced, so
+        # the round-1 linear digest stays frozen; model_poly2 freezes the
+        # round-4 quadratic-selection format on the curved column.
+        ("model", "model_linear", "delta"),
+        ("model", "model_poly2", "model"),
+        ("bitmap", "bitmap_4", None),
+        ("dzbf", "dzbf_2b", None),
+        ("dzbv", "dzbv_mixed", None),
+        ("patched", "patched_for", None),
+        ("raw", "raw_rand", None),
+        ("cascade", "cascade_rledict", None),
+        ("xordelta", "xordelta_sensor", None),
+        ("alp", "alp_prices", None),
     ],
 )
-def test_golden_format_frozen(scheme, digest_name):
+def test_golden_format_frozen(scheme, digest_name, gen):
     """Canonical encodes must byte-match the checked-in golden digests."""
     rng = np.random.default_rng(20260817)
-    v = gen_column(scheme, GROUP + 100, rng)
+    v = gen_column(gen or scheme, GROUP + 100, rng)
     col = gt.encode(v, scheme, name=digest_name)
     digest = hashlib.sha256(gt.container_bytes([col])).hexdigest()
     gfile = GOLDEN / f"{digest_name}.sha256"

@@ -51,7 +51,9 @@ def test_take_point_lookups():
     from giddy_tpu.partial import take
 
     rng = np.random.default_rng(24)
-    for scheme in ("nbit", "delta", "rle", "dzbv"):
+    from giddy_tpu.datagen import CORE_SCHEMES
+
+    for scheme in CORE_SCHEMES:
         v = gen_column(scheme, 6 * GROUP + 45, rng)
         col = gt.encode(v, scheme)
         idx = np.concatenate([
@@ -65,6 +67,28 @@ def test_take_point_lookups():
     np.testing.assert_array_equal(take(col, idx.reshape(5, 11)), v[idx].reshape(5, 11))
     with pytest.raises(IndexError):
         take(col, [col.n])
+
+
+def test_take_touches_only_needed_groups(monkeypatch):
+    """The point-lookup cost contract (VERDICT r3 next #7): touched groups
+    ∝ touched indices, never the whole column — 3 scattered points in a
+    200-group column must decode a handful of (pow2-rounded) ranges."""
+    from giddy_tpu import partial
+
+    calls: list[tuple[int, int]] = []
+    orig = partial.GroupSlicer.decode
+
+    def spy(self, g0, g1):
+        calls.append((g0, g1))
+        return orig(self, g0, g1)
+
+    monkeypatch.setattr(partial.GroupSlicer, "decode", spy)
+    v = np.arange(200 * GROUP, dtype=np.int32) % 100000
+    col = gt.encode(v, "delta")
+    idx = np.array([5, 3 * GROUP + 7, 150 * GROUP + 1])
+    np.testing.assert_array_equal(partial.take(col, idx), v[idx])
+    touched = sum(g1 - g0 for g0, g1 in calls)
+    assert touched <= 6, calls  # 3 isolated points, pow2-rounded ranges
 
 
 def test_take_wide_column():
