@@ -21,3 +21,20 @@ def test_dist_checks_on_virtual_mesh():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     assert "ALL DIST CHECKS PASSED" in proc.stdout
+
+
+def test_two_process_distributed_mesh():
+    """Actual multi-controller runtime (2 x jax.distributed processes of 4
+    virtual devices each): process-spanning 2D mesh, per-process
+    addressable shards, cross-process replicated-stream broadcast — the
+    DCN-analog pieces the single-process virtual mesh never touches
+    (VERDICT r3 next #6; SURVEY.md CS-5)."""
+    script = pathlib.Path(__file__).parent / "dist2proc_check.py"
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "ALL 2-PROCESS DIST CHECKS PASSED" in proc.stdout
