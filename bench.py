@@ -311,6 +311,14 @@ def _scan_ab(args, outdir: pathlib.Path) -> dict:
             table[scheme][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
             print(f"[bench] scan-ab {scheme:6s} {mode:4s} {r['decode_GBps']:9.2f} GB/s",
                   file=sys.stderr)
+    # prefix-XOR family (round 4): auto = two-level tiled roll at the bench
+    # column's width, flat = the original single-level network
+    table["xordelta"] = {}
+    for mode in ("auto", "flat"):
+        r = _spawn_one("xordelta", args, env_extra={"GIDDY_TPU_XOR": mode})
+        table["xordelta"][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
+        print(f"[bench] scan-ab xordelta {mode:5s} {r['decode_GBps']:9.2f} GB/s",
+              file=sys.stderr)
     (outdir / "scan_ab.json").write_text(json.dumps(table, indent=2))
     return table
 

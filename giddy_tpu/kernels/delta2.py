@@ -16,10 +16,9 @@ from ..format import EncodedColumn
 from ..util import GROUP, LANES, num_groups
 from .common import row_blocked_call, store
 from .lanes import (
-    group_cumsum,
     linear_iota,
     scan_scratch_bytes,
-    signed_cumsum,
+    signed_double_cumsum,
     unpack_lanes,
     unzigzag,
 )
@@ -32,10 +31,10 @@ def build(col: EncodedColumn, out_store=None):
 
     def kernel(in_ref, anchor_ref, slope_ref, out_ref):
         s = unzigzag(unpack_lanes(in_ref[:], bits))
-        # first scan: second-differences are <bits>-wide (narrow planes);
-        # its output (first differences) is full-width, so the outer scan
-        # stays the generic 4-plane fold
-        cc = group_cumsum(signed_cumsum(s, bits))
+        # closed-form double prefix (round 4): one bf16 ramp-matmul per
+        # byte plane of the BIASED second differences replaces the
+        # narrow scan + full-width 4-plane scan pair
+        cc = signed_double_cumsum(s, bits)
         pos1 = linear_iota(out_ref.shape[0]) + jnp.uint32(1)
         store(out_ref, anchor_ref[:] + slope_ref[:] * pos1 + cc)
 

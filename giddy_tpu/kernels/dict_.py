@@ -37,12 +37,16 @@ from .common import row_blocked_call
 from .lanes import LUT_LANE, unpack_to
 
 # Largest dictionary the fused in-kernel gather accepts; above this the
-# select chain across 128-entry blocks (d/128 gathers per value) loses to
-# the XLA take's extra HBM pass. Structural crossover (results/dict_ab.json
-# + VPU-op accounting): the chain costs ~2*(d/128) VPU ops/element, so on
-# a v5e (~3.8 Tops VPU, 819 GB/s HBM) it stays above the take's
-# extra-pass ceiling (~traffic/2.5) through d = 2048 and loses by ~4096;
-# raised 1024 -> 2048 in round 3 on that accounting.
+# select chain across 128-entry blocks loses to the XLA take's extra HBM
+# pass. Round-4 crossover, from the MEASURED ops census (roofline.ops_audit;
+# round 3's hand accounting was ~3x optimistic until the census caught the
+# take_along_axis clamp triple + unhoisted shift, both now removed): the
+# chain costs ~2 VPU ops + 1 gather per 128-entry block per element — with
+# gathers charged as VPU-equivalents, d=2048 runs ~51 ops/elem = ~49% SoL
+# vs the take fallback's structural ~38% cap (traffic ratio ~2.6 from the
+# codes round-trip), while d=4096 (~99 ops/elem, ~26%) would lose. The
+# crossover sits between 2048 and 4096; 2048 keeps Mosaic compile time of
+# the unrolled chain moderate. Census table: results/dict_census.json.
 DICT_PALLAS_MAX = int(os.environ.get("GIDDY_TPU_DICT_PALLAS_MAX", 2048))
 
 

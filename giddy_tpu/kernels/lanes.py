@@ -146,10 +146,15 @@ def gather_lut(table: jax.Array, idx: jax.Array) -> jax.Array:
     for j in range(C // LUT_LANE):
         ij = idx[:, j * LUT_LANE : (j + 1) * LUT_LANE]
         low = ij & (LUT_LANE - 1)
-        r = jnp.take_along_axis(blocks[0], low, axis=1)
+        hi = ij >> 7  # hoisted: one shift per slice, not per block
+        # promise_in_bounds: low < 128 by construction (mask above), so the
+        # default clamp lowering's lt/add/select triple per gather is dead
+        # weight — the ops census (round 4) showed it tripling the chain's
+        # per-block VPU cost
+        r = jnp.take_along_axis(blocks[0], low, axis=1, mode="promise_in_bounds")
         for b in range(1, nb):
-            g = jnp.take_along_axis(blocks[b], low, axis=1)
-            r = jnp.where((ij >> 7) == b, g, r)
+            g = jnp.take_along_axis(blocks[b], low, axis=1, mode="promise_in_bounds")
+            r = jnp.where(hi == b, g, r)
         outs.append(r)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
@@ -356,6 +361,106 @@ def signed_cumsum(d: jax.Array, bits: int) -> jax.Array:
     s = group_cumsum(d + c, byte_planes=planes, small=bits <= 7)
     pos1 = jax.lax.broadcasted_iota(jnp.uint32, d.shape, 1) + jnp.uint32(1)
     return s - pos1 * c
+
+
+def _tile_excl_scan(tot: jax.Array) -> jax.Array:
+    """Exclusive prefix-sum (u32 wrap) over the tile dimension of a
+    (rows, nt) per-tile totals array — the tiny 1/128-width roll scan shared
+    by every tiled scan here."""
+    rows, nt = tot.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
+    carry = jnp.where(col >= 1, _lane_roll(tot, 1), jnp.uint32(0))
+    k = 1
+    while k < nt:
+        carry = carry + jnp.where(col >= k, _lane_roll(carry, k), jnp.uint32(0))
+        k *= 2
+    return carry
+
+
+def _mxu_double_cumsum(x: jax.Array, byte_planes: tuple[int, ...], small: bool) -> jax.Array:
+    """Per-row inclusive DOUBLE cumsum (cumsum of cumsum), wrapping uint32,
+    in one MXU pass per byte plane (round 4; delta2's outer scan).
+
+    Within a 128-lane tile the double prefix has the closed form
+    ``c2w[j] = Σ_{i<=j} (j-i+1)·x[i]`` — a matmul with the triangular RAMP
+    matrix T2[i,j] = j-i+1 (values 1..128). int8 can't hold 128, so the
+    operand rides bf16: plane values (biased to [-128,127]) and ramp
+    entries (<=128) are exact in bf16, every product (<=2^14) and the f32
+    accumulation (<=2^21 < 2^24) exact in f32 — the dot output is the
+    exact integer, converted back to int32.
+
+    Cross-tile, with S_t = Σ_tile x (= c1w[t,127]) and Q_t = c2w[t,127]:
+      c1[t,j] = c1w[t,j] + A_t,          A_t = exclusive-scan(S)
+      c2[t,j] = c2w[t,j] + A_t·(j+1) + B_t,
+      B_t = exclusive-scan(Q_t + 128·A_t)
+    (the B term is Σ_{u<t} Σ_j' c1[u,j']); all carry scans run on the
+    1/128-width totals. Per-plane int8-style bias un-folds through the
+    double sum as the LOCAL triangular numbers 128·T(j+1), T(m)=m(m+1)/2.
+    """
+    rows, width = x.shape
+    nt = width // SCAN_TILE
+    y = x.reshape(rows * nt, SCAN_TILE)
+    li = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 1)
+    ramp = jnp.where(li <= lj, lj - li + 1, 0).astype(jnp.bfloat16)
+    kmax = max(byte_planes)
+    acc = None
+    for k in byte_planes:
+        b = y if k == 0 else y >> jnp.uint32(8 * k)
+        if k < kmax:
+            b = b & jnp.uint32(0xFF)
+        p = b.astype(jnp.int32)
+        if not small:
+            p = p - 128
+        t = jnp.dot(p.astype(jnp.bfloat16), ramp, preferred_element_type=jnp.float32)
+        t = t.astype(jnp.int32)
+        if k:
+            t = t << jnp.int32(8 * k)
+        acc = t if acc is None else acc + t
+    if not small:
+        bias = (128 * sum(1 << (8 * k) for k in byte_planes)) & 0xFFFFFFFF
+        m = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1) + 1
+        tloc = (m * (m + 1)) >> 1  # local triangular numbers, <= 8256
+        acc = acc + tloc * jnp.int32(bias if bias < 2**31 else bias - 2**32)
+    c2w = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+    # tile sums in int32 wrap space: Mosaic has no unsigned reduction
+    # lowering (chip-only failure the CPU interpreter never sees)
+    si = jnp.sum(jax.lax.bitcast_convert_type(y, jnp.int32), axis=1, dtype=jnp.int32)
+    S = jax.lax.bitcast_convert_type(si, jnp.uint32).reshape(rows, nt)
+    Q = c2w[:, SCAN_TILE - 1 :].reshape(rows, nt)
+    A = _tile_excl_scan(S)
+    B = _tile_excl_scan(Q + A * jnp.uint32(SCAN_TILE))
+    jloc = (
+        jax.lax.broadcasted_iota(jnp.uint32, (rows, width), 1) & jnp.uint32(SCAN_TILE - 1)
+    ) + jnp.uint32(1)
+    return (
+        c2w.reshape(rows, width)
+        + jnp.repeat(A, SCAN_TILE, axis=1) * jloc
+        + jnp.repeat(B, SCAN_TILE, axis=1)
+    )
+
+
+def signed_double_cumsum(d: jax.Array, bits: int) -> jax.Array:
+    """``cumsum(cumsum(d))`` (uint32 wrap) for d = unzigzag of a
+    ``bits``-wide stream — delta2's whole scan stage in one MXU pass per
+    byte plane of the BIASED second differences (the naive form pays a
+    narrow scan plus a full-width 4-plane scan, since first differences
+    are full-width in wrap space). Bias c = 2^(bits-1) un-folds through
+    the double sum as c·T(j+1), T(m) = m(m+1)/2 — (j+1)(j+2) < 2^31 for
+    GROUP rows, so the shift is exact."""
+    from .common import use_interpret  # deferred: avoid import cycle at init
+
+    if use_interpret():
+        c1 = jnp.cumsum(d, axis=1, dtype=jnp.uint32)
+        return jnp.cumsum(c1, axis=1, dtype=jnp.uint32)
+    if bits >= 25 or scan_mode() == "roll" or d.shape[1] % SCAN_TILE:
+        return group_cumsum(signed_cumsum(d, bits))
+    c = jnp.uint32(1 << (bits - 1)) if bits else jnp.uint32(0)
+    planes = tuple(range((bits + 7) // 8)) or (0,)
+    D = _mxu_double_cumsum(d + c, planes, bits <= 7)
+    j1 = jax.lax.broadcasted_iota(jnp.uint32, d.shape, 1) + jnp.uint32(1)
+    tglob = (j1 * (j1 + 1)) >> jnp.uint32(1)
+    return D - tglob * c
 
 
 @functools.cache

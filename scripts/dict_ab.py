@@ -47,14 +47,21 @@ for _ in range(8):
     ts.append((time.perf_counter() - t0) / 4)
 ts.sort()
 a = traffic_audit(col)
+from giddy_tpu.roofline import ops_audit
+o = ops_audit(col)
 ref = gt.decode_ref(col)
 exact = bool((np.asarray(gt.decode(col)) == ref).all())
 print(json.dumps({{"exact": exact, "time_us": ts[len(ts)//2] * 1e6,
-                   "temp_bytes": a["temp_bytes"], "sol_ratio": a["sol_ratio"]}}))
+                   "temp_bytes": a["temp_bytes"], "sol_ratio": a["sol_ratio"],
+                   "ops_vpu_per_elem": round(o["vpu_ops_per_elem"], 2),
+                   "ops_move_per_elem": round(o["move_per_elem"], 2),
+                   "ops_budget_vpu": round(o["budget"]["vpu_ops_per_elem"], 2)}}))
 """
     env = dict(os.environ, GIDDY_TPU_DICT_PALLAS_MAX=str(pallas_max))
+    # big fused dictionaries compile slowly (the unrolled gather chain):
+    # give each point ample room rather than recording a spurious timeout
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1200, env=env)
+                         text=True, timeout=3600, env=env)
     if out.returncode != 0:
         return {"error": out.stderr[-500:]}
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -62,7 +69,7 @@ print(json.dumps({{"exact": exact, "time_us": ts[len(ts)//2] * 1e6,
 
 def main() -> None:
     results = {}
-    for d in (64, 512, 1024, 4096):
+    for d in (64, 512, 1024, 2048, 4096):
         results[str(d)] = {
             "fused_lut": _one(d, 1 << 20),
             "xla_take": _one(d, 0),
@@ -70,11 +77,14 @@ def main() -> None:
         print(d, json.dumps(results[str(d)]), file=sys.stderr)
     results["note"] = (
         "wall-clock is dispatch-bound on the axon tunnel (treat time_us as "
-        "noisy); the structural column is temp_bytes/sol_ratio: the fused "
-        "LUT is single-pass (temp 0), the XLA take pays an extra decoded-"
-        "bytes HBM round-trip. Default threshold GIDDY_TPU_DICT_PALLAS_MAX="
-        "1024 keeps the select-chain cost (d/128 gathers per value) below "
-        "the take's extra pass."
+        "noisy); the decisive columns are structural. Bytes: the fused LUT "
+        "is single-pass (temp 0, sol_ratio ~1) while the XLA take pays an "
+        "extra decoded-bytes HBM round-trip (sol_ratio ~2.6 -> ~38% SoL "
+        "cap). Compute (round-4 ops census): the chain costs ~2 VPU ops + "
+        "1 gather per 128-entry block per element, so its SoL cap is "
+        "budget/ops — above the take's ~38% through d=2048 (~49%) and "
+        "below it by d=4096 (~26%). Default GIDDY_TPU_DICT_PALLAS_MAX=2048 "
+        "sits on the winning side of that crossover."
     )
     out = REPO / "results" / "dict_ab.json"
     out.parent.mkdir(exist_ok=True)

@@ -106,6 +106,23 @@ def test_roll_scan_matches():
     assert (out == _want(x)).all()
 
 
+@pytest.mark.parametrize("bits", [1, 3, 7, 8, 9, 15, 16, 24, 25, 32])
+@pytest.mark.parametrize("rows", [1, 3])
+def test_signed_double_cumsum(bits, rows):
+    """Closed-form double prefix (bf16 ramp matmul + tile carries) vs two
+    np.cumsum passes, full signed range per width; >=25 bits falls back to
+    the scan pair."""
+    from giddy_tpu.kernels.common import force_compiled_trace
+
+    rng = np.random.default_rng(bits * 10 + rows)
+    d = rng.integers(-(1 << (bits - 1)), 1 << (bits - 1), (rows, GROUP),
+                     dtype=np.int64).astype(np.int32).view(np.uint32)
+    with force_compiled_trace():
+        out = np.asarray(lanes.signed_double_cumsum(jnp.asarray(d), bits))
+    want = np.cumsum(np.cumsum(d, axis=1, dtype=np.uint32), axis=1, dtype=np.uint32)
+    assert (out == want).all()
+
+
 def _want_xor(x: np.ndarray) -> np.ndarray:
     return np.bitwise_xor.accumulate(x, axis=1)
 

@@ -41,9 +41,9 @@ MEMORY_BOUND = [
 
 # Irregular kernels: documented absolute VPU-ops/element caps (census
 # value at freeze + ~20% headroom). Rationale per scheme:
-# - delta2: the outer scan's input (first differences) is full-width, so
-#   the second cumsum pays the generic 4-plane MXU fold (~29 ops) on top
-#   of the narrow first scan (docs/DESIGN.md §3b).
+# - delta2: the closed-form double scan (one bf16 ramp matmul, round 4)
+#   runs ~26 ops/elem — a hair over its own budget only because the
+#   scheme's 10x ratio makes bytes/elem (hence the budget) tiny.
 # - rle/rpe: the tile-chain is a select chain over the group's padded run
 #   count (r_pad) — ~2 ops per run per element at this test's density;
 #   long-run columns (the scheme's winning regime) have far fewer.
@@ -51,7 +51,7 @@ MEMORY_BOUND = [
 #   expand network per plane; irreducibly gather-shaped (SURVEY §3.1).
 # - cascade: inner-scheme decode (rle here, r_pad 32) + the fused VMEM
 #   dictionary gather chain.
-OPS_CAPS = {"delta2": 55.0, "rle": 36.0, "rpe": 36.0, "dzbv": 230.0, "cascade": 80.0}
+OPS_CAPS = {"delta2": 32.0, "rle": 36.0, "rpe": 36.0, "dzbv": 230.0, "cascade": 80.0}
 
 
 def _audit(scheme: str):
