@@ -9,11 +9,15 @@ a VMEM tile width ``W`` at prep time and decode in **one Pallas pass**:
   ``w_pad`` runs each (``W`` chosen adaptively so ``w_pad`` stays small —
   the reference's anchor idea pushed all the way down to the vreg tile).
 - The kernel reads each tile's ``(w_pad)`` run table and writes its ``(W,)``
-  output slice via a branchless select chain — ``w_pad`` full-vector
-  compare+selects replace the reference's per-thread binary search, and the
-  only HBM traffic is the run tables in and the decoded tile out (the
-  single-pass property BASELINE's >=80%-SoL target needs; the prior
-  XLA-scatter + cumsum design made ~3x decoded-bytes of traffic).
+  output slice in one of two branchless forms (round 4, chosen by table
+  density): a select chain (``w_pad`` full-vector compare+selects — cheaper
+  through w_pad <= RANK_MIN) or a vectorized binary search (``_rank_call``,
+  the reference's per-thread binary search as 7 conditional dynamic-gather
+  probes — flat ~30 VPU-equivalents/element, ~8x cheaper than the chain at
+  w_pad = 128). Either way the only HBM traffic is the run tables in and
+  the decoded tile out (the single-pass property BASELINE's >=80%-SoL
+  target needs; the prior XLA-scatter + cumsum design made ~3x
+  decoded-bytes of traffic).
 
 Pathologically dense runs (avg run length < ~4, where RLE is a losing
 scheme anyway) fall back to the old two-pass form: scatter each run's
@@ -41,6 +45,10 @@ CHAIN_TARGET = int(os.environ.get("GIDDY_TPU_RLE_CHAIN", 32))
 # Absolute chain ceiling at the smallest tile width before falling back to
 # the scatter+cumsum path.
 CHAIN_HARD = int(os.environ.get("GIDDY_TPU_RLE_CHAIN_HARD", 128))
+# Above this per-tile run count the select chain (2 ops/run/element) loses
+# to the branchless binary search (~4 ops x log2(128) flat — _rank_call,
+# round 4); at or below it the chain is cheaper.
+RANK_MIN = int(os.environ.get("GIDDY_TPU_RLE_RANK_MIN", 16))
 # Candidate tile widths, largest first (fewer/larger tiles = less run-table
 # re-read; w_pad(W) is monotone nondecreasing in W, so the first candidate
 # meeting CHAIN_TARGET is the largest that does).
@@ -180,6 +188,85 @@ def _chain_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out
     return call
 
 
+def _rank_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out_dtype=jnp.uint32):
+    """One-pass run expansion by vectorized binary search — the TPU form of
+    libgiddy's per-thread binary search (``run_length_encoding.cuh``,
+    SURVEY.md CS-4), used when the run table is dense (w_pad > RANK_MIN).
+
+    rank[j] = #{ends <= j} via 7 branchless probes into the 128-lane-padded
+    ends table (each probe a within-tile dynamic gather; probe indices stay
+    < 128 by the search invariant, and pad entries carry the sentinel W
+    which no j < W reaches, so rank < w_pad always), then one gather of
+    ``vals[rank]``. Flat ~30 VPU-equivalent ops/element regardless of run
+    density — at w_pad = 128 the select chain costs ~8x that."""
+    from ..registry import _VMEM_BUDGET
+    from ..util import cdiv, next_power_of_2
+    from .common import _SUBLANE_TILE, store
+
+    per_row = 10 * W * 4 + 4 * 128 * 4
+    if lut_d_pad:
+        per_row += 4 * lut_d_pad
+    rpb = max(8, next_power_of_2(max(_VMEM_BUDGET // per_row, 1) + 1) // 2)
+    rpb = rows if rows < 8 else min(rpb, rows)
+    sub = _SUBLANE_TILE[jnp.dtype(out_dtype).itemsize]
+    if rpb < rows and rpb % sub:  # narrow stores need sublane-tile rows
+        if rows <= sub:
+            rpb = rows
+        elif sub * per_row <= _VMEM_BUDGET:
+            rpb = sub
+        else:
+            out_dtype = jnp.uint32
+    grid = cdiv(rows, rpb)
+    pad = 128 - w_pad
+
+    def kernel(*refs):
+        ends_ref, vals_ref, out_ref = refs[-3], refs[-2], refs[-1]
+        ends = ends_ref[:].astype(jnp.int32)
+        vals = vals_ref[:]
+        if pad:
+            ends = jnp.concatenate(
+                [ends, jnp.full((rpb, pad), W, jnp.int32)], axis=1
+            )
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((rpb, pad), jnp.uint32)], axis=1
+            )
+        outs = []
+        for s in range(W // 128):
+            col = jax.lax.broadcasted_iota(jnp.int32, (rpb, 128), 1) + jnp.int32(s * 128)
+            r = jnp.zeros((rpb, 128), jnp.int32)
+            step = 64
+            while step:
+                probe = r + jnp.int32(step - 1)
+                e = jnp.take_along_axis(ends, probe, axis=1, mode="promise_in_bounds")
+                r = r + jnp.where(e <= col, jnp.int32(step), jnp.int32(0))
+                step //= 2
+            outs.append(
+                jnp.take_along_axis(vals, r, axis=1, mode="promise_in_bounds")
+            )
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        if lut_d_pad:
+            from .lanes import gather_lut
+
+            out = gather_lut(refs[0][:], out)
+        store(out_ref, out)
+
+    lut_specs = [block_spec((rpb, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=lut_specs + [
+            block_spec((rpb, w_pad), lambda i: (i, 0)),
+            block_spec((rpb, w_pad), lambda i: (i, 0)),
+        ],
+        out_specs=block_spec((rpb, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, W), out_dtype),
+        interpret=use_interpret(),
+    )
+    if lut_d_pad:
+        return lambda table, *a: call(jnp.broadcast_to(table, (rpb, lut_d_pad)), *a)
+    return call
+
+
 def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None, out_dtype=jnp.uint32):
     from .common import resolve_narrow, store
     from .lanes import scan_scratch_bytes
@@ -270,7 +357,8 @@ def _build(col: EncodedColumn, *, positions: bool, out_store=None):
                 ends = ends.reshape(-1, ends.shape[-1])
             rows, w_pad = vals.shape
             W = (ng * GROUP) // rows
-            return _chain_call(rows, W, w_pad, lut, out_dt)(*args, ends, vals).reshape(ng * GROUP)
+            expand = _rank_call if w_pad > RANK_MIN else _chain_call
+            return expand(rows, W, w_pad, lut, out_dt)(*args, ends, vals).reshape(ng * GROUP)
         # fallback: sparse delta scatter + dense per-group cumsum
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)
         # flattened scatter positions are nondecreasing by construction

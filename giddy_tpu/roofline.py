@@ -206,7 +206,8 @@ _VPU_PRIMS = frozenset(
     shift_right_logical shift_right_arithmetic min max eq ne lt le gt ge
     select_n convert_element_type exp log floor ceil round sqrt rsqrt
     integer_pow pow is_finite population_count clz nextafter expm1 log1p
-    erf tanh logistic square""".split()
+    erf tanh logistic square reduce_sum reduce_max reduce_min reduce_and
+    reduce_or reduce_xor argmax argmin""".split()
 )
 _MOVE_PRIMS = frozenset(
     """slice concatenate reshape squeeze expand_dims broadcast_in_dim
@@ -279,9 +280,15 @@ def _count_jaxpr(jx, mult: float, c: dict) -> None:
             for s in subs:
                 _count_jaxpr(s, mult, c)
             continue
-        out = eqn.outvars[0].aval
+        # reductions touch every INPUT element; everything else is weighted
+        # by its output
+        av = (
+            eqn.invars[0].aval
+            if name.startswith(("reduce_", "arg")) and eqn.invars
+            else eqn.outvars[0].aval
+        )
         elems = 1.0
-        for d in getattr(out, "shape", ()):
+        for d in getattr(av, "shape", ()):
             elems *= float(d)
         if name == "dot_general":
             dn = eqn.params["dimension_numbers"]
