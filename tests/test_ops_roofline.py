@@ -49,9 +49,9 @@ MEMORY_BOUND = [
 #   long-run columns (the scheme's winning regime) have far fewer.
 # - dzbv: per-element byte realignment = mask scans + the conditional-roll
 #   expand network per plane; irreducibly gather-shaped (SURVEY §3.1).
-# - cascade: inner-scheme decode (rle here, r_pad 32) + the fused VMEM
-#   dictionary gather chain.
-OPS_CAPS = {"delta2": 32.0, "rle": 36.0, "rpe": 36.0, "dzbv": 230.0, "cascade": 80.0}
+# - cascade: inner-scheme decode (rle here, via the binary-search
+#   expansion) + the fused VMEM dictionary gather chain.
+OPS_CAPS = {"delta2": 32.0, "rle": 36.0, "rpe": 36.0, "dzbv": 210.0, "cascade": 40.0}
 
 
 def _audit(scheme: str):
