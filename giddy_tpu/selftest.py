@@ -213,6 +213,9 @@ def _check_narrow_store(n, rng):
         ("delta", np.minimum(np.arange(n) // 600, 100).astype(np.int16)),
         ("dict", rng.integers(-100, 100, n).astype(np.int8)),
         ("rle", (np.arange(n) // 700).astype(np.int16)),
+        # mid-density runs: the binary-search expansion (w_pad > RANK_MIN)
+        # combined with the narrow store
+        ("rle", ((np.arange(n) // 5) % 30000).astype(np.int16)),
         ("dzbv", rng.integers(0, 60000, n).astype(np.uint16)),
         ("bitmap", (rng.integers(0, 4, n) * 7).astype(np.uint8)),
         ("patched", np.where(rng.random(n) < 0.002, 30000, rng.integers(0, 60, n)).astype(np.int16)),
