@@ -76,8 +76,15 @@ def prepare_scheme(scheme: str, n: int, rng):
         jax.block_until_ready(streams)
         jax.block_until_ready(fn(streams))
         return col, (lambda: fn(streams))
-    v = gen_column(scheme, n, rng)
-    col = gt.encode(v, scheme, name=f"bench_{scheme}")
+    if scheme == "xordelta_narrow":
+        # few active bit planes (bits <= XOR_MXU_MAX): the MXU parity-scan
+        # regime; GIDDY_TPU_XOR=tiled measures the roll network on the
+        # same column for the A/B
+        v = (np.cumsum(rng.integers(0, 3, n)) % 7).astype(np.int32).view(np.float32)
+        col = gt.encode(v, "xordelta", name="bench_xor_narrow")
+    else:
+        v = gen_column(scheme, n, rng)
+        col = gt.encode(v, scheme, name=f"bench_{scheme}")
     fn = gt.get_decoder(col)
     streams = gt.api.device_streams(col)
     jax.block_until_ready(streams)
@@ -312,13 +319,16 @@ def _scan_ab(args, outdir: pathlib.Path) -> dict:
             print(f"[bench] scan-ab {scheme:6s} {mode:4s} {r['decode_GBps']:9.2f} GB/s",
                   file=sys.stderr)
     # prefix-XOR family (round 4): auto = two-level tiled roll at the bench
-    # column's width, flat = the original single-level network
-    table["xordelta"] = {}
-    for mode in ("auto", "flat"):
-        r = _spawn_one("xordelta", args, env_extra={"GIDDY_TPU_XOR": mode})
-        table["xordelta"][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
-        print(f"[bench] scan-ab xordelta {mode:5s} {r['decode_GBps']:9.2f} GB/s",
-              file=sys.stderr)
+    # column's width, flat = the original single-level network; the narrow
+    # column A/Bs the MXU parity scan (auto routes it) vs the tiled roll
+    for scheme, modes in (("xordelta", ("auto", "flat")),
+                          ("xordelta_narrow", ("auto", "tiled"))):
+        table[scheme] = {}
+        for mode in modes:
+            r = _spawn_one(scheme, args, env_extra={"GIDDY_TPU_XOR": mode})
+            table[scheme][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
+            print(f"[bench] scan-ab {scheme} {mode:5s} {r['decode_GBps']:9.2f} GB/s",
+                  file=sys.stderr)
     (outdir / "scan_ab.json").write_text(json.dumps(table, indent=2))
     return table
 
