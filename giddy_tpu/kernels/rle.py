@@ -219,6 +219,18 @@ def _rank_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out_
     grid = cdiv(rows, rpb)
     pad = 128 - w_pad
 
+    def _gather(tab, idx):
+        # Mosaic's gather lowering rejects operands under a full sublane
+        # tile (single-group columns reach here with rpb < 8, same as
+        # lanes.gather_lut's R==1 case): widen by row concatenation, slice
+        # back
+        if rpb >= 8:
+            return jnp.take_along_axis(tab, idx, axis=1, mode="promise_in_bounds")
+        reps = -(-8 // rpb)
+        t = jnp.concatenate([tab] * reps, axis=0)[:8]
+        i = jnp.concatenate([idx] * reps, axis=0)[:8]
+        return jnp.take_along_axis(t, i, axis=1, mode="promise_in_bounds")[:rpb]
+
     def kernel(*refs):
         ends_ref, vals_ref, out_ref = refs[-3], refs[-2], refs[-1]
         ends = ends_ref[:].astype(jnp.int32)
@@ -237,12 +249,10 @@ def _rank_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out_
             step = 64
             while step:
                 probe = r + jnp.int32(step - 1)
-                e = jnp.take_along_axis(ends, probe, axis=1, mode="promise_in_bounds")
+                e = _gather(ends, probe)
                 r = r + jnp.where(e <= col, jnp.int32(step), jnp.int32(0))
                 step //= 2
-            outs.append(
-                jnp.take_along_axis(vals, r, axis=1, mode="promise_in_bounds")
-            )
+            outs.append(_gather(vals, r))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         if lut_d_pad:
             from .lanes import gather_lut
