@@ -275,8 +275,18 @@ def _df_signature(df: DistForm) -> tuple:
 
 
 # (col static_key, mesh key) -> (df signature, jitted fn). Hit = reuse the
-# traced/compiled program; only dist_form + device_put run per call.
+# traced/compiled program; only dist_form + device_put run per call. Bounded
+# FIFO: a long-lived service decoding many distinct column shapes must not
+# accumulate compiled executables forever (pre-cache behavior let them be
+# collected per call).
 _DECODER_FN_CACHE: dict[tuple, tuple] = {}
+_CACHE_CAP = 256
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if key not in cache and len(cache) >= _CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
@@ -292,8 +302,9 @@ def build_sharded_decoder(col: EncodedColumn, mesh: Mesh, axis: str = "d"):
     sig = _df_signature(df)
     cached = _DECODER_FN_CACHE.get(key)
     if cached is None or cached[0] != sig:
-        _DECODER_FN_CACHE[key] = (sig, _build_fn(df, mesh, axis))
-    return _DECODER_FN_CACHE[key][1], _device_args(df, mesh, axis)
+        cached = (sig, _build_fn(df, mesh, axis))
+        _cache_put(_DECODER_FN_CACHE, key, cached)
+    return cached[1], _device_args(df, mesh, axis)
 
 
 def _build_fn(df: DistForm, mesh: Mesh, axis):
@@ -413,7 +424,7 @@ def decode_columns_sharded(
         def run(args_list):
             return [f(*a) for f, a in zip(fns, args_list)]
 
-        _SHARDED_COLUMNS_CACHE[key] = (fns, run)
-    run = _SHARDED_COLUMNS_CACHE[key][1]
-    outs = run(args)
+        cached = (fns, run)
+        _cache_put(_SHARDED_COLUMNS_CACHE, key, cached)
+    outs = cached[1](args)
     return {c.name: _to_logical(u, c.dtype)[: c.n] for c, u in zip(cols, outs)}

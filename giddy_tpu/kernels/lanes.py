@@ -293,15 +293,10 @@ def _mxu_cumsum(x: jax.Array, byte_planes: tuple[int, ...], small: bool) -> jax.
         pos1 = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1) + 1
         acc = acc + pos1 * jnp.int32(bias if bias < 2**31 else bias - 2**32)
     acc = jax.lax.bitcast_convert_type(acc, jnp.uint32)
-    # per-tile inclusive totals = the corrected scan's last column
+    # per-tile inclusive totals = the corrected scan's last column;
+    # exclusive prefix of them = the tiny 1/128-width roll scan
     tot = acc[:, SCAN_TILE - 1 :].reshape(rows, nt)
-    # exclusive prefix of the u32 tile totals: tiny roll-scan on 1/128 width
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
-    carry = jnp.where(col >= 1, _lane_roll(tot, 1), jnp.uint32(0))
-    k = 1
-    while k < nt:
-        carry = carry + jnp.where(col >= k, _lane_roll(carry, k), jnp.uint32(0))
-        k *= 2
+    carry = _tile_excl_scan(tot)
     return acc.reshape(rows, width) + jnp.repeat(carry, SCAN_TILE, axis=1)
 
 
@@ -363,16 +358,17 @@ def signed_cumsum(d: jax.Array, bits: int) -> jax.Array:
     return s - pos1 * c
 
 
-def _tile_excl_scan(tot: jax.Array) -> jax.Array:
-    """Exclusive prefix-sum (u32 wrap) over the tile dimension of a
-    (rows, nt) per-tile totals array — the tiny 1/128-width roll scan shared
-    by every tiled scan here."""
+def _tile_excl_scan(tot: jax.Array, combine=jnp.add) -> jax.Array:
+    """Exclusive prefix-``combine`` (u32 wrap; add or bitwise_xor — both
+    have identity 0) over the tile dimension of a (rows, nt) per-tile
+    totals array — the tiny 1/128-width roll scan shared by every tiled
+    scan here (cumsum, double cumsum, and the XOR family)."""
     rows, nt = tot.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
     carry = jnp.where(col >= 1, _lane_roll(tot, 1), jnp.uint32(0))
     k = 1
     while k < nt:
-        carry = carry + jnp.where(col >= k, _lane_roll(carry, k), jnp.uint32(0))
+        carry = combine(carry, jnp.where(col >= k, _lane_roll(carry, k), jnp.uint32(0)))
         k *= 2
     return carry
 
@@ -508,12 +504,7 @@ def _tiled_cumxor(x: jax.Array) -> jax.Array:
         y = y ^ jnp.where(col >= k, _lane_roll(y, k), jnp.uint32(0))
         k *= 2
     tot = y[:, SCAN_TILE - 1 :].reshape(rows, nt)
-    colt = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
-    carry = jnp.where(colt >= 1, _lane_roll(tot, 1), jnp.uint32(0))
-    k = 1
-    while k < nt:
-        carry = carry ^ jnp.where(colt >= k, _lane_roll(carry, k), jnp.uint32(0))
-        k *= 2
+    carry = _tile_excl_scan(tot, jnp.bitwise_xor)
     return y.reshape(rows, width) ^ jnp.repeat(carry, SCAN_TILE, axis=1)
 
 
@@ -540,12 +531,7 @@ def _mxu_cumxor(x: jax.Array, bits: int) -> jax.Array:
         acc = t if acc is None else acc | t
     acc = jax.lax.bitcast_convert_type(acc, jnp.uint32)
     tot = acc[:, SCAN_TILE - 1 :].reshape(rows, nt)
-    colt = jax.lax.broadcasted_iota(jnp.int32, (rows, nt), 1)
-    carry = jnp.where(colt >= 1, _lane_roll(tot, 1), jnp.uint32(0))
-    k = 1
-    while k < nt:
-        carry = carry ^ jnp.where(colt >= k, _lane_roll(carry, k), jnp.uint32(0))
-        k *= 2
+    carry = _tile_excl_scan(tot, jnp.bitwise_xor)
     return acc.reshape(rows, width) ^ jnp.repeat(carry, SCAN_TILE, axis=1)
 
 

@@ -367,7 +367,10 @@ def _build(col: EncodedColumn, *, positions: bool, out_store=None):
                 ends = ends.reshape(-1, ends.shape[-1])
             rows, w_pad = vals.shape
             W = (ng * GROUP) // rows
-            expand = _rank_call if w_pad > RANK_MIN else _chain_call
+            # chain below RANK_MIN (cheaper) and above 128 (the 7-probe
+            # search addresses one 128-lane table; a raised
+            # GIDDY_TPU_RLE_CHAIN_HARD must keep working via the chain)
+            expand = _rank_call if RANK_MIN < w_pad <= 128 else _chain_call
             return expand(rows, W, w_pad, lut, out_dt)(*args, ends, vals).reshape(ng * GROUP)
         # fallback: sparse delta scatter + dense per-group cumsum
         dense = jnp.zeros((ng * GROUP,), jnp.uint32)

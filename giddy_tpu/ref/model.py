@@ -12,8 +12,11 @@ same endpoint slope/min intercept construction) per frame and keeps
 whichever needs the narrower residual; if any frame keeps a curvature
 term the column ships as ``kind="poly2"`` with a third coefficient stream
 (zero for linear-winning frames — the decode stays ONE fused epilogue
-``a + b·p + c·p²``), otherwise the output is byte-identical to the
-round-1 linear format (golden ``model_linear`` digest unchanged).
+``a + b·p + c·p²``), otherwise the column ships in the round-1 linear
+FORMAT (no coef_c). Round 4 also changed linear encodes themselves in two
+deliberate ways — the signed-window endpoint slope and the model-
+extrapolated tail-frame pad fill — so the golden digests (incl.
+``model_linear``) were re-frozen; see FORMAT.md §1.7.
 """
 
 from __future__ import annotations

@@ -179,11 +179,17 @@ def ops_budget(col: EncodedColumn, device_kind: str = "v5e") -> dict:
     A decode is memory-bound iff its compute drains faster than HBM feeds
     it: ``ops/element <= VPU_rate * bytes_touched_per_element / HBM_BW``
     (and likewise for MXU MACs). bytes/element uses the SoL denominator
-    (compressed in + decoded out). For a 4x-compressed int32 column on a
-    v5e this lands at ~17-24 ops/element — the docs/DESIGN.md §3b figure.
+    (compressed in + the group-PADDED output write the kernel actually
+    emits), normalized per PADDED element — the same normalization
+    ops_audit uses for its op counts, so ragged tails cannot skew the
+    memory_bound verdict. For a 4x-compressed int32 column on a v5e this
+    lands at ~17-24 ops/element — the docs/DESIGN.md §3b figure.
     """
-    n_pad = max(col.n, 1)
-    bytes_per_elem = (col.nbytes_compressed + col.nbytes_decoded) / n_pad
+    from .util import GROUP, num_groups
+
+    n_pad = max(num_groups(col.n) * GROUP, 1)
+    itemsize = max(col.nbytes_decoded // max(col.n, 1), 1)
+    bytes_per_elem = (col.nbytes_compressed + n_pad * itemsize) / n_pad
     bw = chip_bw(device_kind)
     vpu = VPU_LANES * VPU_ALU_SLOTS * _chip_lookup(CHIP_CLOCK_HZ, device_kind)
     mxu = _chip_lookup(MXU_INT8_MACS, device_kind)
@@ -212,8 +218,7 @@ _VPU_PRIMS = frozenset(
 _MOVE_PRIMS = frozenset(
     """slice concatenate reshape squeeze expand_dims broadcast_in_dim
     transpose rev pad iota dynamic_slice dynamic_update_slice gather
-    scatter scatter-add roll tpu_roll bitcast_convert_type copy
-    convert_element_type_noop""".split()
+    scatter scatter-add roll tpu_roll bitcast_convert_type copy""".split()
 )
 _DESCEND_UNSCALED = frozenset(
     """jit pjit closed_call custom_jvp_call custom_vjp_call remat

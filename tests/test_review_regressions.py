@@ -143,3 +143,32 @@ def test_dist_args_cache_bounded_and_memoized():
         group_reduce_sharded(keys, mesh=mesh)
     assert len(dist_query._ARGS_CACHE) == size1
     assert len(dist_query._ARGS_CACHE) <= dist_query._ARGS_CACHE_MAX
+
+
+def test_rle_chain_hard_env_raised(monkeypatch):
+    """A raised GIDDY_TPU_RLE_CHAIN_HARD must keep decoding (round-4
+    review): the 7-probe binary search addresses one 128-lane table, so
+    w_pad > 128 tables must route back to the select chain."""
+    from giddy_tpu.kernels import rle
+
+    monkeypatch.setattr(rle, "CHAIN_HARD", 256)
+    v = (np.arange(3 * GROUP, dtype=np.int64) // 2).astype(np.int32) % 40000
+    col = gt.encode(v, "rle")
+    streams = gt.api.device_streams(col)
+    assert "vals_w" in streams and streams["vals_w"].shape[-1] > 128, streams[
+        "vals_w"
+    ].shape
+    np.testing.assert_array_equal(np.asarray(gt.decode(col)), v)
+
+
+def test_ops_budget_padded_normalization():
+    """ops_budget and ops_audit normalize by the same (padded) element
+    count, so ragged tails cannot dilute the memory-bound verdict."""
+    from giddy_tpu.roofline import ops_budget
+
+    v = np.arange(GROUP + 1, dtype=np.int32)
+    col = gt.encode(v, "nbit")
+    b = ops_budget(col)
+    # 2 padded groups x ~17/32 bits + 4-byte out: bytes/elem must reflect
+    # the padded write (~4.6), not the n-normalized ~9.2
+    assert 4.0 < b["bytes_per_elem"] < 6.5, b
