@@ -40,13 +40,22 @@ def _backend_interpret() -> bool:
 
 @contextlib.contextmanager
 def force_compiled_trace():
-    """TRACE-ONLY override: build decoders on their compiled (Mosaic) path
-    regardless of backend, so the ops census (roofline.ops_audit) sees the
-    real kernel structure — MXU matmul scans, roll networks, gather chains —
-    on the CPU backend too. Anything built under this context must only ever
-    be traced (jax.make_jaxpr); executing it off-TPU would hand Mosaic
-    kernels to an XLA:CPU lowering. Callers must also bypass the api decoder
-    cache (api.get_decoder) for the same reason."""
+    """Compiled-path override for CENSUS builds: decoders constructed under
+    this context take their compiled (Mosaic) structure regardless of
+    backend, so the ops census (roofline.ops_audit) sees the real kernel —
+    MXU matmul scans, roll networks, gather chains — on the CPU backend too.
+
+    Contract (ADVICE r4): a ``pallas_call`` built under this context must
+    only ever be TRACED (jax.make_jaxpr) — executing it off-TPU would hand
+    Mosaic kernels to an XLA:CPU lowering. Helpers that sit OUTSIDE any
+    pallas_call (the lanes.py scan/roll building blocks) may additionally
+    be EXECUTED off-TPU under this context when every primitive they use
+    has an XLA lowering on the host backend — tests/test_mxu_scan.py relies
+    on that to unit-test the scan algorithms on CPU (pltpu.roll and int8
+    dots lower fine there). Callers must also bypass the api decoder cache
+    (api.get_decoder), which must never hold a Mosaic-path decoder on a CPU
+    backend. Audits run single-threaded (the suite's xdist parallelism is
+    per-process), so a module global is safe here."""
     global _FORCE_COMPILED_TRACE
     prev = _FORCE_COMPILED_TRACE
     _FORCE_COMPILED_TRACE = True

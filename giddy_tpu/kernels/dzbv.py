@@ -1,32 +1,41 @@
 """Discard zero bytes, variable — device decoder (FORMAT.md §1.10).
 
-Single-pass design (round 2): host prep re-anchors each byte plane per
-GROUP (the anchor idea of SURVEY.md §8.1 applied to plane offsets), so the
-kernel aligns plane bytes to their element positions entirely in VMEM:
+Three prep-time layouts, best-first (the on-disk format — compacted byte
+planes — is unchanged; layout is a load-time re-anchoring):
 
-- per-plane ranks come from per-group log-scans — one packed cumsum serves
-  planes 1 and 3 (16-bit fields; counts <= GROUP = 2**15 never carry), and
-  rank2 falls out of the identity ``cumsum(w) = rank1 + rank2 + rank3``;
-- plane bytes, stored front-compacted per group row, move to their
-  destinations with the conditional-roll expand network
-  (:func:`..kernels.lanes.expand_monotone`) — no dense HBM intermediate,
-  no XLA gather, ``temp == 0`` in the compiled program's memory analysis.
+1. **Tile layout** (round 5, the default): each byte plane is re-compacted
+   per 128-LANE TILE with a column-global stride ``s`` (any multiple of 8
+   up to 128). Ranks then never cross a tile boundary, so plane bytes
+   align to their elements with ONE in-tile dynamic gather per plane
+   (Mosaic ``take_along_axis`` — the same primitive the fused dictionary
+   chain hardware-proves every round; two gathers + a select on the
+   minority of tiles whose source window straddles a 128-lane boundary),
+   replacing the round-2 15-step conditional-roll expand network. The rank
+   scans drop their cross-tile carry too
+   (:func:`..kernels.lanes.tile_cumsum`). Census effect: ~187 -> ~35 VPU
+   ops/element (VERDICT r4 missing #2 / next #1).
+2. **Group-row layout** (round 2): planes front-compacted per GROUP, the
+   conditional-roll expand network aligns them. Kept for columns whose
+   sub-group width burstiness blows the tile layout's padding cap but
+   whose per-group totals are still even.
+3. **Two-pass XLA fallback** (global rank cumsum + ``jnp.take``) for
+   pathological group skew — an audited, documented losing regime.
 
-Group rows quantize plane storage to 4*LANES-byte steps (one packed word
-row), so prep falls back to the original two-pass XLA path (global rank
-cumsum + ``jnp.take``) when per-group skew would inflate HBM traffic by
-more than ~15% of the decoded bytes — for i.i.d. width mixes the rounding
-overhead is a few percent.
+Each compacted layout quantizes plane storage (to ``s`` bytes per tile /
+4*LANES bytes per group row); prep falls through to the next layout when
+the quantization padding would inflate HBM traffic by more than ~15% of
+the decoded bytes.
 
 Upstream analog: libgiddy
 ``src/kernels/decompression/discard_zero_bytes_variable.cuh`` (SURVEY.md
 §3.1) decodes varint via per-segment offset anchors + per-thread byte
-loads; byte planes + the roll network are the vreg-native equivalent (no
-per-element addressing at all).
+loads; byte planes + tile-anchored gathers are the vreg-native equivalent
+(no per-element addressing at all).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,11 +44,114 @@ from ..format import EncodedColumn
 from ..ref.lmp import lmp_pack, lmp_unpack
 from ..util import GROUP, LANES, cdiv, num_groups
 from .common import row_blocked_call
-from .lanes import expand_monotone, group_cumsum, unpack_lanes, unpack_to
+from .lanes import (
+    expand_monotone,
+    group_cumsum,
+    tile_cumsum,
+    unpack_lanes,
+    unpack_to,
+)
 
-# Prep falls back to the XLA path when group-row quantization would add
+# Prep falls back to the next layout when storage quantization would add
 # more than this fraction of the decoded bytes in extra HBM traffic.
 PAD_CAP = 0.15
+
+TILE = 128  # Mosaic dynamic-gather exactness window (lanes.LUT_LANE)
+TPG = GROUP // TILE  # tiles per group row
+# Per-tile byte strides are any multiple of 8 in [8, 128]: whole packed
+# words + T8 layout granularity, fine enough that stride rounding wastes
+# < 8 bytes/tile beyond the per-tile max count itself (power-of-two-only
+# strides waste up to ~50% on mid-density planes — measured 25% on the
+# datagen column, over PAD_CAP). Non-divisor strides make some dest tiles'
+# source windows straddle a 128-lane boundary; the kernel pays one extra
+# gather + select on exactly those chunks (see _tile_pass_call).
+STRIDE_Q = 8
+
+
+def _stride_for(max_cnt: int) -> int:
+    # per-tile count is <= 128 by definition
+    return min(cdiv(max(max_cnt, 1), STRIDE_Q) * STRIDE_Q, TILE)
+
+
+def tile_prep(col: EncodedColumn, force_s: dict | None = None) -> dict | None:
+    """Re-anchor planes 1..3 per 128-lane tile: ``trow{k}: (ng, 64*s_k)
+    uint32`` word rows in the T8 layout (each 128-word block packs 512
+    consecutive bytes as 4 byte-position chunks of 128 — see
+    :func:`_t8_bytes`), tile t's bytes front-compacted at byte offset
+    ``t*s_k`` with the column-global stride ``s_k``. Returns None when the
+    stride quantization would exceed PAD_CAP.
+
+    ``force_s``: {plane: s} pins strides AND the plane presence set
+    (skipping the cap) — partial.GroupSlicer derives them once from the
+    whole column so every equal-size slice shares one jit specialization.
+    """
+    plane_lens = col.params["plane_lens"]
+    ng = num_groups(col.n)
+    n_pad = ng * GROUP
+    if force_s is not None:
+        present = sorted(force_s)
+    else:
+        present = [k for k in (1, 2, 3) if plane_lens[k] > 0]
+    streams = {"widths": col.streams["widths"], "plane0": col.streams["plane0"]}
+    if not present:
+        return streams
+    w = lmp_unpack(col.streams["widths"], 2, n_pad).astype(np.int32)
+    trows = {}
+    total_pad = 0
+    ragged = 1 if col.n < n_pad else 0  # tail group exempt from the skew
+    # accounting, as in group_prep: its output write is padded anyway
+    for k in present:
+        mask = w >= k
+        cnt = mask.reshape(ng * TPG, TILE).sum(axis=1)
+        total = int(cnt.sum())
+        s = force_s[k] if force_s else _stride_for(int(cnt.max()))
+        assert int(cnt.max()) <= s, (k, int(cnt.max()), s)
+        full_tiles = (ng - ragged) * TPG
+        tail_real = int(cnt[full_tiles:].sum())
+        total_pad += full_tiles * s - (total - tail_real)
+        mat = np.zeros(ng * TPG * s, np.uint32)
+        if total:
+            sel = np.flatnonzero(mask)
+            tile_of = sel >> 7
+            excl = np.cumsum(cnt) - cnt
+            r = np.arange(total, dtype=np.int64) - excl[tile_of]
+            # sliced columns quantize plane_lens upward with zero padding,
+            # so trust the widths for the real count (as group_prep does)
+            mat[tile_of * s + r] = lmp_unpack(col.streams[f"plane{k}"], 8, total)
+        m4 = mat.reshape(ng, TPG * s // 512, 4, TILE)
+        words = (
+            m4[:, :, 0]
+            | (m4[:, :, 1] << np.uint32(8))
+            | (m4[:, :, 2] << np.uint32(16))
+            | (m4[:, :, 3] << np.uint32(24))
+        )
+        trows[f"trow{k}"] = np.ascontiguousarray(words.reshape(ng, TPG * s // 4))
+    if force_s is None and total_pad > PAD_CAP * (ng * GROUP * 4):
+        return None
+    streams.update(trows)
+    return streams
+
+
+def global_tile_s(tile_counts: dict, *, ragged: bool = False) -> dict | None:
+    """The slice-stable tile strides for :func:`tile_prep(force_s=...)`:
+    {plane: s} from whole-column per-TILE counts {plane: (n_tiles,) array},
+    or None when the whole-column pad would exceed PAD_CAP (the caller then
+    tries the group-row layout). ``ragged``: exempt the final group's
+    tiles from the skew accounting, as tile_prep does — their output write
+    is padded regardless."""
+    ss = {}
+    total_pad = 0
+    n_tiles = 0
+    for k, cnt in tile_counts.items():
+        if int(cnt.sum()) == 0:
+            continue
+        n_tiles = cnt.shape[0]
+        full = n_tiles - (TPG if ragged else 0)
+        ss[k] = _stride_for(int(cnt.max()))
+        total_pad += full * ss[k] - int(cnt[:full].sum())
+    if n_tiles and total_pad > PAD_CAP * (n_tiles * TILE * 4):
+        return None
+    return ss
 
 
 def group_prep(col: EncodedColumn, force_w4: dict | None = None) -> dict | None:
@@ -119,10 +231,132 @@ def global_w4(counts: dict) -> dict | None:
 
 
 def _prep(col: EncodedColumn) -> dict:
-    if "prow1" in col.streams or "prow2" in col.streams or "prow3" in col.streams:
-        return col.streams  # already in group-row (dist) form
-    pre = group_prep(col)
+    for k in (1, 2, 3):
+        if f"trow{k}" in col.streams or f"prow{k}" in col.streams:
+            return col.streams  # already in a re-anchored (dist/slice) form
+    pre = tile_prep(col)
+    if pre is None:
+        pre = group_prep(col)
     return pre if pre is not None else col.streams
+
+
+def _t8_bytes(x, s: int):
+    """(R, 64*s) T8-packed words -> (R, 256*s) uint32 byte values in linear
+    tile-compacted order (byte p = t*s + i of the group row at column p).
+    Every operand is a 128-lane slice + shift/mask — no sub-tile shapes."""
+    chunks = []
+    for q in range(s // 2):
+        wv = x[:, q * TILE : (q + 1) * TILE]
+        for m in range(4):
+            v = wv >> jnp.uint32(8 * m) if m else wv
+            chunks.append(v & jnp.uint32(0xFF) if m < 3 else v)  # byte 3 is clean
+    return jnp.concatenate(chunks, axis=1)
+
+
+def _tile_pass_call(ng: int, ss: dict[int, int], out_store=None):
+    """The round-5 tile-layout decoder: per plane, a tile-local rank scan
+    (no cross-tile carry) + ONE in-tile dynamic gather aligns the
+    compacted bytes to their elements. All reshapes are the proven
+    (R, k*128) <-> (R*k, 128) forms of lanes._mxu_cumsum; the gather is the
+    (rows, 128)-operand ``take_along_axis`` of lanes.gather_lut."""
+    present = sorted(ss)
+    in_widths = [2 * LANES, 8 * LANES] + [TPG * ss[k] // 4 for k in present]
+    # scratch: w, masks, packed scan, per-plane rank/bytes/gathered, out —
+    # ~10 full (r, GROUP) uint32 intermediates + the matmul scan transients
+    from .lanes import scan_scratch_bytes
+
+    scratch = (10 * 4 * GROUP + scan_scratch_bytes()) if present else 0
+
+    def kernel(widths_ref, p0_ref, *refs):
+        out_ref = refs[-1]
+        trow_refs = dict(zip(present, refs[:-1]))
+        if not present:
+            del widths_ref  # widths carry no information when every
+            unpack_to(out_ref, p0_ref[:], 8)  # element is 1 byte wide
+            return
+        w = unpack_lanes(widths_ref[:], 2)  # (r, GROUP), values 0..3
+        out = unpack_lanes(p0_ref[:], 8)
+        r_rows = w.shape[0]
+        mb = {k: w >= jnp.uint32(k) for k in present}  # plane-membership bools
+        # tile-local EXCLUSIVE counts (= in-tile ranks, directly) for every
+        # present plane in ONE packed scan: masks ride byte fields 8*i (tile
+        # counts <= 128 never bleed a byte), the strict-triangle MXU form
+        # makes the exclusive scan free — one matmul pass replaces the
+        # group-row kernel's two scans + identity subtraction.
+        packed = None
+        for i, k in enumerate(present):
+            f = mb[k].astype(jnp.uint32)
+            if i:
+                f = f << jnp.uint32(8 * i)
+            packed = f if packed is None else packed | f
+        excl = tile_cumsum(
+            packed, byte_planes=tuple(range(len(present))), small=True, exclusive=True
+        )
+        excl = jax.lax.bitcast_convert_type(excl, jnp.int32)  # fields < 2**31
+        ranks = {}
+        for i, k in enumerate(present):
+            rk = excl >> jnp.int32(8 * i) if i else excl
+            if i < len(present) - 1:
+                rk = rk & jnp.int32(0xFF)
+            ranks[k] = rk
+        import math
+
+        for k in present:
+            s = ss[k]
+            # super-row structure: mP dest tiles share nP source 128-lane
+            # chunks (B = lcm(s, 128) bytes); dest tile q's window
+            # [q*s, q*s + s) lies in one chunk, or straddles two when s
+            # does not divide 128 — those chunks pay a second gather + a
+            # select, everything else is ONE in-tile gather.
+            mP = TILE // math.gcd(TILE, s)
+            nP = mP * s // TILE
+            rows_sup = r_rows * TPG // mP
+            rank = ranks[k]  # [0, s]: s only on UNSELECTED lanes of a full
+            # tile (the running count); those lanes' gathers are discarded,
+            # but the index must stay in the 128-lane window — chunks whose
+            # window ends exactly at a lane boundary clamp (below)
+            y = _t8_bytes(trow_refs[k][:], s)  # (r, 256*s)
+            src = y.reshape(rows_sup, nP * TILE)
+            chunks = [src[:, c * TILE : (c + 1) * TILE] for c in range(nP)]
+            ridx = rank.reshape(rows_sup, mP * TILE)
+            outs = []
+            for q in range(mP):
+                rq = ridx[:, q * TILE : (q + 1) * TILE]
+                lo = q * s
+                c0, c1 = lo // TILE, (lo + s - 1) // TILE
+                off = lo - c0 * TILE
+                if c0 == c1:
+                    idx = rq + jnp.int32(off) if off else rq
+                    if off + s == TILE:  # rank == s (unselected, full tile)
+                        idx = jnp.minimum(idx, jnp.int32(TILE - 1))  # -> 128
+                    outs.append(
+                        jnp.take_along_axis(
+                            chunks[c0], idx, axis=1, mode="promise_in_bounds"
+                        )
+                    )
+                else:
+                    g0 = jnp.take_along_axis(
+                        chunks[c0],
+                        jnp.minimum(rq + jnp.int32(off), jnp.int32(TILE - 1)),
+                        axis=1, mode="promise_in_bounds",
+                    )
+                    g1 = jnp.take_along_axis(
+                        chunks[c1],
+                        jnp.maximum(rq + jnp.int32(off - TILE), jnp.int32(0)),
+                        axis=1, mode="promise_in_bounds",
+                    )
+                    outs.append(jnp.where(rq < jnp.int32(TILE - off), g0, g1))
+            g = outs[0] if mP == 1 else jnp.concatenate(outs, axis=1)
+            g = g.reshape(r_rows, GROUP)
+            out = out | (jnp.where(mb[k], g, jnp.uint32(0)) << jnp.uint32(8 * k))
+        from .common import store
+
+        store(out_ref, out)
+
+    return row_blocked_call(
+        kernel, ng=ng, in_widths=in_widths, extra_bytes_per_group=scratch,
+        out_dtype=out_store or jnp.uint32,
+    )
 
 
 def _prow_bytes(x, w4: int):
@@ -223,6 +457,17 @@ def build(col: EncodedColumn, out_store=None):
         if any(f"plane{k}" in streams for k in (1, 2, 3)):
             # two-pass XLA skew fallback stays u32; api._to_logical narrows
             return _decode_xla(streams, ng, plane_lens)
+        ss = {
+            k: streams[f"trow{k}"].shape[1] * 4 // TPG
+            for k in (1, 2, 3)
+            if f"trow{k}" in streams
+        }
+        if ss or not any(f"prow{k}" in streams for k in (1, 2, 3)):
+            return _tile_pass_call(ng, ss, out_store)(
+                streams["widths"],
+                streams["plane0"],
+                *(streams[f"trow{k}"] for k in sorted(ss)),
+            ).reshape(ng * GROUP)
         w4s = {
             k: streams[f"prow{k}"].shape[1] // LANES
             for k in (1, 2, 3)

@@ -232,6 +232,43 @@ def _roll_cumsum(x: jax.Array) -> jax.Array:
     return x
 
 
+def _mxu_tile_scan(
+    y: jax.Array, byte_planes: tuple[int, ...], small: bool, *, exclusive: bool = False
+) -> jax.Array:
+    """The within-128-lane-tile stage of :func:`_mxu_cumsum`: ``y`` is the
+    (rows*nt, SCAN_TILE) reshaped view; returns the per-tile inclusive (or
+    exclusive: strict triangle, same cost) cumsum (uint32 wrap), no
+    cross-tile carry."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 1)
+    tri = ((li < lj) if exclusive else (li <= lj)).astype(jnp.int8)
+    kmax = max(byte_planes)
+    # int32 accumulation of (dot_k << 8k): shifts/adds wrap bitwise, and the
+    # whole fold is exact mod 2**32 by linearity — one convert at the end
+    # instead of one per plane (round-4 ops-census trim)
+    acc = None
+    for k in byte_planes:
+        b = y if k == 0 else y >> jnp.uint32(8 * k)
+        if k < kmax:
+            b = b & jnp.uint32(0xFF)
+        if small:
+            p = b.astype(jnp.int32).astype(jnp.int8)
+        else:
+            p = (b.astype(jnp.int32) - 128).astype(jnp.int8)
+        t = jnp.dot(p, tri, preferred_element_type=jnp.int32)
+        if k:
+            t = t << jnp.int32(8 * k)
+        acc = t if acc is None else acc + t
+    if not small:
+        # one fused bias un-fold for every plane: each input was biased by
+        # -128, so position j's inclusive sum is short 128*(j+1) per plane
+        # (exclusive: 128*j), scaled 2**(8k) — a single fused multiply-add
+        bias = (128 * sum(1 << (8 * k) for k in byte_planes)) & 0xFFFFFFFF
+        pos1 = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) + (0 if exclusive else 1)
+        acc = acc + pos1 * jnp.int32(bias if bias < 2**31 else bias - 2**32)
+    return jax.lax.bitcast_convert_type(acc, jnp.uint32)
+
+
 def _mxu_cumsum(x: jax.Array, byte_planes: tuple[int, ...], small: bool) -> jax.Array:
     """MXU-exact per-row inclusive cumsum, wrapping uint32.
 
@@ -264,40 +301,41 @@ def _mxu_cumsum(x: jax.Array, byte_planes: tuple[int, ...], small: bool) -> jax.
     """
     rows, width = x.shape
     nt = width // SCAN_TILE
-    y = x.reshape(rows * nt, SCAN_TILE)
-    li = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 0)
-    lj = jax.lax.broadcasted_iota(jnp.int32, (SCAN_TILE, SCAN_TILE), 1)
-    tri = (li <= lj).astype(jnp.int8)
-    kmax = max(byte_planes)
-    # int32 accumulation of (dot_k << 8k): shifts/adds wrap bitwise, and the
-    # whole fold is exact mod 2**32 by linearity — one convert at the end
-    # instead of one per plane (round-4 ops-census trim)
-    acc = None
-    for k in byte_planes:
-        b = y if k == 0 else y >> jnp.uint32(8 * k)
-        if k < kmax:
-            b = b & jnp.uint32(0xFF)
-        if small:
-            p = b.astype(jnp.int32).astype(jnp.int8)
-        else:
-            p = (b.astype(jnp.int32) - 128).astype(jnp.int8)
-        t = jnp.dot(p, tri, preferred_element_type=jnp.int32)
-        if k:
-            t = t << jnp.int32(8 * k)
-        acc = t if acc is None else acc + t
-    if not small:
-        # one fused bias un-fold for every plane: each input was biased by
-        # -128, so position j's inclusive sum is short 128*(j+1) per plane,
-        # scaled 2**(8k) — a single (j+1) * (128 * sum_k 2**(8k)) add
-        bias = (128 * sum(1 << (8 * k) for k in byte_planes)) & 0xFFFFFFFF
-        pos1 = jax.lax.broadcasted_iota(jnp.int32, (rows * nt, SCAN_TILE), 1) + 1
-        acc = acc + pos1 * jnp.int32(bias if bias < 2**31 else bias - 2**32)
-    acc = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+    acc = _mxu_tile_scan(x.reshape(rows * nt, SCAN_TILE), byte_planes, small)
     # per-tile inclusive totals = the corrected scan's last column;
     # exclusive prefix of them = the tiny 1/128-width roll scan
     tot = acc[:, SCAN_TILE - 1 :].reshape(rows, nt)
     carry = _tile_excl_scan(tot)
     return acc.reshape(rows, width) + jnp.repeat(carry, SCAN_TILE, axis=1)
+
+
+def tile_cumsum(
+    x: jax.Array,
+    *,
+    byte_planes: tuple[int, ...] = (0, 1, 2, 3),
+    small: bool = False,
+    exclusive: bool = False,
+) -> jax.Array:
+    """Per-128-lane-TILE inclusive (or exclusive) cumsum (uint32 wrap), NO
+    cross-tile carry — the scan primitive of the round-5 dzbv tile layout
+    (kernels/dzbv.py): when data is re-anchored per tile at prep time,
+    ranks never cross a tile boundary and the carry stage (8 roll steps +
+    a full-width repeat-add) is pure waste. The exclusive form comes free
+    on the MXU path (strict triangle) — it IS the rank computation. Same
+    byte_planes/small contract as :func:`group_cumsum`; width must be a
+    multiple of 128."""
+    from .common import use_interpret  # deferred: avoid import cycle at init
+
+    rows, width = x.shape
+    nt = width // SCAN_TILE
+    y = x.reshape(rows * nt, SCAN_TILE)
+    if use_interpret():
+        c = jnp.cumsum(y, axis=1, dtype=jnp.uint32)
+        return (c - y if exclusive else c).reshape(rows, width)
+    if scan_mode() == "roll":
+        c = _roll_cumsum(y)
+        return (c - y if exclusive else c).reshape(rows, width)
+    return _mxu_tile_scan(y, byte_planes, small, exclusive=exclusive).reshape(rows, width)
 
 
 def scan_scratch_bytes(width: int = GROUP) -> int:

@@ -38,6 +38,21 @@ from ..util import (
 from .lmp import lmp_pack, lmp_unpack
 
 
+def _fit_slope(base: np.ndarray, d: np.ndarray, pos: np.ndarray):
+    """Endpoint-slope fit for one reading ``d`` of each frame's wrapped
+    first-to-last difference: slope + unsigned-min intercept, residual
+    zigzags. All arithmetic wraps in uint32."""
+    frame_len = base.shape[1]
+    b64 = np.round(d / (frame_len - 1)).astype(np.int64)
+    coef_b = b64.astype(np.uint32).view(np.int32)
+    slope = coef_b.view(np.uint32)[:, None] * pos  # wraps like (i*b) & 0xFFFFFFFF
+    resid0 = base - slope  # uint32 wrap == (frame - pred(a=0)) mod 2^32
+    coef_a = resid0.min(axis=1).view(np.int32)
+    pred = coef_a.view(np.uint32)[:, None] + slope
+    resid = (base - pred).view(np.int32)
+    return coef_a, coef_b, zigzag(resid)
+
+
 def _fit(frames: np.ndarray, c: np.ndarray):
     """Given per-frame curvature ``c`` (int64, 0 = linear), build the
     endpoint slope + unsigned-min intercept the round-1 linear path used —
@@ -47,23 +62,27 @@ def _fit(frames: np.ndarray, c: np.ndarray):
     pos = np.arange(frame_len, dtype=np.uint32)
     curve = (c.astype(np.uint32)[:, None] * (pos * pos)) if c.any() else 0
     base = frames - curve  # uint32 wrap
-    # endpoint slope from the SIGNED window of the wrapped difference:
-    # descending frames (curvature-removed arcs routinely descend) have
-    # base[-1] < base[0] in true value, and reading the mod-2^32 difference
-    # as unsigned would put the slope off by ~2^32/(L-1) — garbage
-    # residuals. (Ascending-timestamp columns — the round-1 case and the
-    # golden model_linear input — have small positive diffs, for which this
-    # re-centering is the identity.)
+    # Endpoint slope: the wrapped mod-2^32 first-to-last difference admits
+    # two readings — SIGNED (recentered into [-2^31, 2^31): right for
+    # descending frames, which curvature-removed arcs routinely are) and
+    # UNSIGNED (the round-1 reading: right for ascending frames whose true
+    # span exceeds 2^31, which the signed window misreads as descending —
+    # ADVICE r4). Either decodes losslessly (wrap space); fit both per
+    # frame and keep the narrower residual, preferring signed on ties so
+    # ordinary columns (span < 2^31: the readings agree) are unchanged.
     d = base[:, -1].astype(np.int64) - base[:, 0].astype(np.int64)
-    d = ((d + 2**31) % 2**32) - 2**31
-    b64 = np.round(d / (frame_len - 1)).astype(np.int64)
-    coef_b = b64.astype(np.uint32).view(np.int32)
-    slope = coef_b.view(np.uint32)[:, None] * pos  # wraps like (i*b) & 0xFFFFFFFF
-    resid0 = base - slope  # uint32 wrap == (frame - pred(a=0)) mod 2^32
-    coef_a = resid0.min(axis=1).view(np.int32)
-    pred = coef_a.view(np.uint32)[:, None] + slope
-    resid = (base - pred).view(np.int32)
-    return coef_a, coef_b, zigzag(resid)
+    ds = ((d + 2**31) % 2**32) - 2**31
+    du = d % 2**32
+    a_s, b_s, z_s = _fit_slope(base, ds, pos)
+    if np.array_equal(ds, du):
+        return a_s, b_s, z_s
+    a_u, b_u, z_u = _fit_slope(base, du, pos)
+    use_u = z_u.max(axis=1) < z_s.max(axis=1)
+    return (
+        np.where(use_u, a_u, a_s).astype(np.int32),
+        np.where(use_u, b_u, b_s).astype(np.int32),
+        np.where(use_u[:, None], z_u, z_s),
+    )
 
 
 def _extrapolate_tail(frames: np.ndarray, re: int, try_quad: bool) -> None:

@@ -202,11 +202,16 @@ def ops_budget(col: EncodedColumn, device_kind: str = "v5e") -> dict:
 
 
 # Primitive classification for the census. Elementwise VPU work is counted
-# one op per output element; pure data movement (slices/concats/reshapes/
-# broadcasts, lane rolls, in-tile gathers) is tallied separately — Mosaic
-# resolves most of it to vreg renames or single shuffle ops, so charging it
-# as ALU work would double-count, but the census keeps the number visible
-# so a gather/roll explosion cannot hide.
+# one op per output element; data movement is split two ways (round 5,
+# VERDICT r4 missing #5):
+# - FREE movement (slices/concats/reshapes/broadcasts/bitcasts): Mosaic
+#   resolves these to vreg renames or layout changes — charging them as
+#   ALU work would double-count. Tallied as ``move`` for visibility only.
+# - ISSUE-SLOT movement (dynamic gathers, scatters, lane rolls): each is a
+#   real per-lane shuffle/permute instruction occupying a VPU issue slot —
+#   these are charged against the VPU budget in the memory_bound verdict
+#   (``vpu_issue = vpu + gather + roll``), so a gather/roll explosion can
+#   never hide in an unbudgeted bucket.
 _VPU_PRIMS = frozenset(
     """add sub mul div rem neg sign abs and or xor not shift_left
     shift_right_logical shift_right_arithmetic min max eq ne lt le gt ge
@@ -217,9 +222,11 @@ _VPU_PRIMS = frozenset(
 )
 _MOVE_PRIMS = frozenset(
     """slice concatenate reshape squeeze expand_dims broadcast_in_dim
-    transpose rev pad iota dynamic_slice dynamic_update_slice gather
-    scatter scatter-add roll tpu_roll bitcast_convert_type copy""".split()
+    transpose rev pad iota dynamic_slice dynamic_update_slice
+    bitcast_convert_type copy""".split()
 )
+_GATHER_PRIMS = frozenset("gather scatter scatter-add".split())
+_ROLL_PRIMS = frozenset("roll tpu_roll".split())
 _DESCEND_UNSCALED = frozenset(
     """jit pjit closed_call custom_jvp_call custom_vjp_call remat
     remat_call checkpoint named_call core_call""".split()
@@ -266,17 +273,27 @@ def _count_jaxpr(jx, mult: float, c: dict) -> None:
                 _count_jaxpr(s, mult, c)
             continue
         if name == "cond":
-            # branches are alternatives: charge the worst case
+            # branches are alternatives: charge the worst case — ranked by
+            # every budgeted bucket (vpu + mxu + gather + roll), and
+            # propagating unknown tallies / unbounded-loop flags raised
+            # inside a branch (they must never escape the census)
             best: dict | None = None
             for s in _subs(eqn.params):
-                sub = {"vpu": 0.0, "mxu": 0.0, "move": 0.0, "prims": {}}
+                sub = {
+                    "vpu": 0.0, "mxu": 0.0, "move": 0.0, "gather": 0.0,
+                    "roll": 0.0, "unknown": 0.0, "prims": {},
+                }
                 _count_jaxpr(s, mult, sub)
-                if best is None or sub["vpu"] + sub["mxu"] > best["vpu"] + best["mxu"]:
+                cost = sub["vpu"] + sub["mxu"] + sub["gather"] + sub["roll"] + sub["unknown"]
+                if best is None or cost > (
+                    best["vpu"] + best["mxu"] + best["gather"] + best["roll"] + best["unknown"]
+                ):
                     best = sub
             if best:
-                c["vpu"] += best["vpu"]
-                c["mxu"] += best["mxu"]
-                c["move"] += best["move"]
+                for k in ("vpu", "mxu", "move", "gather", "roll", "unknown"):
+                    c[k] = c.get(k, 0.0) + best[k]
+                if best.get("has_unbounded_loop"):
+                    c["has_unbounded_loop"] = True
                 for k, v in best["prims"].items():
                     c["prims"][k] = c["prims"].get(k, 0.0) + v
             continue
@@ -306,6 +323,12 @@ def _count_jaxpr(jx, mult: float, c: dict) -> None:
             c["prims"]["dot_general"] = c["prims"].get("dot_general", 0.0) + mult * elems * k
         elif name in _VPU_PRIMS:
             c["vpu"] += mult * elems
+            c["prims"][name] = c["prims"].get(name, 0.0) + mult * elems
+        elif name in _GATHER_PRIMS:
+            c["gather"] = c.get("gather", 0.0) + mult * elems
+            c["prims"][name] = c["prims"].get(name, 0.0) + mult * elems
+        elif name in _ROLL_PRIMS:
+            c["roll"] = c.get("roll", 0.0) + mult * elems
             c["prims"][name] = c["prims"].get(name, 0.0) + mult * elems
         elif name in _MOVE_PRIMS:
             c["move"] += mult * elems
@@ -344,24 +367,32 @@ def ops_audit(col: EncodedColumn, device_kind: str = "v5e") -> dict:
         fn = builder(col, out_store=out_store) if out_store else builder(col)
         streams = api.device_streams(col)
         jaxpr = jax.make_jaxpr(fn)(streams)
-    c: dict = {"vpu": 0.0, "mxu": 0.0, "move": 0.0, "prims": {}}
+    c: dict = {"vpu": 0.0, "mxu": 0.0, "move": 0.0, "gather": 0.0, "roll": 0.0, "prims": {}}
     _count_jaxpr(jaxpr.jaxpr, 1.0, c)
     n_pad = num_groups(col.n) * GROUP
     budget = ops_budget(col, device_kind)
     top = sorted(c["prims"].items(), key=lambda kv: -kv[1])[:12]
+    # issue-slot total: elementwise ALU work PLUS per-lane shuffle work
+    # (dynamic gathers, rolls) — both occupy VPU issue slots, so the
+    # memory-bound verdict budgets their sum (round 5; free movement —
+    # renames/layout — stays outside, visible in move_per_elem)
+    vpu_issue = (c["vpu"] + c["gather"] + c["roll"]) / n_pad
     return {
         "scheme": col.scheme,
         "n": col.n,
         "vpu_ops_per_elem": c["vpu"] / n_pad,
+        "gather_per_elem": c["gather"] / n_pad,
+        "roll_per_elem": c["roll"] / n_pad,
+        "vpu_issue_per_elem": vpu_issue,
         "mxu_macs_per_elem": c["mxu"] / n_pad,
         "move_per_elem": c["move"] / n_pad,
         "unknown_per_elem": c.get("unknown", 0.0) / n_pad,
         "has_unbounded_loop": bool(c.get("has_unbounded_loop", False)),
         "budget": budget,
-        "vpu_headroom": budget["vpu_ops_per_elem"] / max(c["vpu"] / n_pad, 1e-9),
+        "vpu_headroom": budget["vpu_ops_per_elem"] / max(vpu_issue, 1e-9),
         "mxu_headroom": budget["mxu_macs_per_elem"] / max(c["mxu"] / n_pad, 1e-9),
         "memory_bound": (
-            c["vpu"] / n_pad <= budget["vpu_ops_per_elem"]
+            vpu_issue <= budget["vpu_ops_per_elem"]
             and c["mxu"] / n_pad <= budget["mxu_macs_per_elem"]
         ),
         "top_prims_per_elem": {k: round(v / n_pad, 3) for k, v in top},

@@ -172,3 +172,27 @@ def test_ops_budget_padded_normalization():
     # 2 padded groups x ~17/32 bits + 4-byte out: bytes/elem must reflect
     # the padded write (~4.6), not the n-normalized ~9.2
     assert 4.0 < b["bytes_per_elem"] < 6.5, b
+
+
+def test_model_extreme_span_ascending_frame():
+    """ADVICE r4: an ascending frame whose true span exceeds 2^31 must not
+    be misread as descending by the signed-window endpoint slope — the
+    per-frame dual (signed/unsigned) reading keeps the narrower residual."""
+    n = GROUP
+    v = (np.arange(n, dtype=np.int64) * ((2**31 + 2**30) // n)).astype(np.uint32).view(np.int32)
+    col = gt.encode(v, "model")
+    np.testing.assert_array_equal(np.asarray(gt.decode(col)).view(np.int32), v)
+    assert col.params["bits"] <= 18, col.params  # round-4 code packed ~32
+
+
+def test_dzbv_tile_layout_full_tile_rank_clamp():
+    """Round 5 tile layout: a tile whose plane count saturates its stride
+    leaves trailing unselected lanes with rank == s; their (discarded)
+    gather index must stay inside the 128-lane window."""
+    v = np.full(2 * GROUP, 300, np.uint32)  # all 2-byte: plane1 full tiles
+    v[::7] = 5
+    col = gt.encode(v.view(np.int32), "dzbv")
+    from giddy_tpu.kernels.dzbv import tile_prep
+
+    assert tile_prep(col) is not None and "trow1" in tile_prep(col)
+    np.testing.assert_array_equal(np.asarray(gt.decode(col)).view(np.uint32), v)
