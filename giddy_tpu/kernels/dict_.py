@@ -84,7 +84,17 @@ def build(col: EncodedColumn, out_store=None):
 
         return decode
 
-    call = row_blocked_call(kernel, ng=ng, in_widths=[bits * LANES])
+    # Fallback: codes unpack in Pallas, then an XLA take. The extra HBM
+    # round-trip is the path's structural cost — so store the intermediate
+    # codes at their NATURAL width (uint16 for d <= 65536, the realistic
+    # ceiling for dictionary columns): the codes round-trip halves, taking
+    # the structural SoL cap from ~41% to ~58% (round 5; dict_ab.json).
+    # resolve_narrow may decline the narrow store for awkward plans — the
+    # take's int32 cast absorbs either width.
+    code_store = jnp.uint16 if 0 < d <= 65536 else jnp.uint32
+    call = row_blocked_call(
+        kernel, ng=ng, in_widths=[bits * LANES], out_dtype=code_store
+    )
 
     if d == 0:  # empty column: no dictionary to gather from; the unpacked
         # (all-pad) codes are the padded output, sliced to n == 0 upstream

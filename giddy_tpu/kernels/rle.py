@@ -39,19 +39,26 @@ from ..util import GROUP, next_power_of_2, num_groups
 from .common import block_spec, use_interpret
 from .lanes import group_cumsum
 
-# Largest per-tile run count the select chain accepts when *choosing* W
-# (compute cost = w_pad VPU ops per output element).
-CHAIN_TARGET = int(os.environ.get("GIDDY_TPU_RLE_CHAIN", 32))
-# Absolute chain ceiling at the smallest tile width before falling back to
-# the scatter+cumsum path.
+# Absolute per-tile run-count ceiling at the smallest tile width before
+# falling back to the scatter+cumsum path (the select chain beyond it is
+# hopeless AND the 7-probe search addresses one 128-lane table).
 CHAIN_HARD = int(os.environ.get("GIDDY_TPU_RLE_CHAIN_HARD", 128))
-# Above this per-tile run count the select chain (2 ops/run/element) loses
-# to the branchless binary search (~4 ops x log2(128) flat — _rank_call,
-# round 4); at or below it the chain is cheaper.
+# Above this per-tile run count the select chain (~2 ops/run/element) loses
+# to the branchless binary search (RANK_OPS flat — _rank_call, round 4);
+# at or below it the chain is cheaper. The round-5 regime census
+# machine-checks this crossover (tests/test_ops_roofline.py).
 RANK_MIN = int(os.environ.get("GIDDY_TPU_RLE_RANK_MIN", 16))
-# Candidate tile widths, largest first (fewer/larger tiles = less run-table
-# re-read; w_pad(W) is monotone nondecreasing in W, so the first candidate
-# meeting CHAIN_TARGET is the largest that does).
+# Censused flat cost of the binary-search expansion (VPU issue slots per
+# output element: 7 probes x (gather+cmp+add) + the final value gather,
+# per 128-lane slice) and of one chain step (compare+select per run).
+RANK_OPS = 37.0
+CHAIN_OPS_PER_RUN = 2.0
+# Marginal VPU issue slots one extra HBM byte/element buys on a v5e
+# (VPU_LANES * ALU_SLOTS * clock / HBM_BW = 1024*4*0.94e9/819e9): converts
+# the run-table re-read traffic of small tile widths into op-equivalents
+# so the W selection minimizes TOTAL cost, not table bytes alone.
+OPS_PER_BYTE = 4.6
+# Candidate tile widths, largest first (ties in cost keep the larger W).
 _W_CANDIDATES = (GROUP, 16384, 8192, 4096, 2048, 1024, 512)
 
 
@@ -98,17 +105,29 @@ def tile_prep(run_values, bounds, *, positions: bool):
         )
     valid = starts < GROUP  # pad runs start at the GROUP sentinel
 
+    # W selection (round 5, VERDICT r4 next #4): minimize censused total
+    # cost = expansion issue-ops + run-table re-read traffic in
+    # op-equivalents. Long-run columns now land on small W with a tiny
+    # chain (~16 ops/elem) instead of a GROUP-wide table on the flat
+    # RANK_OPS search; the table inflation this buys is a few percent of
+    # the decoded bytes, priced in via OPS_PER_BYTE.
     chosen = None
+    best_cost = None
     for W in _W_CANDIDATES:
         T = GROUP // W
         counts = _tile_counts(starts, valid, W, T)
         w_pad = max(8, next_power_of_2(int(counts.max())))
-        chosen = (W, T, w_pad)
-        if w_pad <= CHAIN_TARGET:
-            break
-    W, T, w_pad = chosen
-    if w_pad > CHAIN_HARD:
+        if w_pad > CHAIN_HARD:
+            continue
+        expand = CHAIN_OPS_PER_RUN * w_pad if w_pad <= RANK_MIN else min(
+            RANK_OPS, CHAIN_OPS_PER_RUN * w_pad
+        )
+        cost = expand + (T * w_pad * 8 / GROUP) * OPS_PER_BYTE
+        if best_cost is None or cost < best_cost:
+            chosen, best_cost = (W, T, w_pad), cost
+    if chosen is None:
         return None
+    W, T, w_pad = chosen
 
     # First run covering each tile: lo[g,t] = #(ends <= t*W); real ends are
     # strictly increasing, pad ends equal GROUP (bin T, inert for t < T).

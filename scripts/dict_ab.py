@@ -75,16 +75,30 @@ def main() -> None:
             "xla_take": _one(d, 0),
         }
         print(d, json.dumps(results[str(d)]), file=sys.stderr)
+    # big-dictionary regime (strdict's 16k-64k): the fused chain's compile
+    # time and O(d/128) cost rule it out — record the take path's
+    # structural numbers (round 5: uint16 intermediate codes)
+    for d in (16384, 65536):
+        results[str(d)] = {"xla_take": _one(d, 0)}
+        print(d, json.dumps(results[str(d)]), file=sys.stderr)
     results["note"] = (
         "wall-clock is dispatch-bound on the axon tunnel (treat time_us as "
         "noisy); the decisive columns are structural. Bytes: the fused LUT "
         "is single-pass (temp 0, sol_ratio ~1) while the XLA take pays an "
-        "extra decoded-bytes HBM round-trip (sol_ratio ~2.6 -> ~38% SoL "
-        "cap). Compute (round-4 ops census): the chain costs ~2 VPU ops + "
-        "1 gather per 128-entry block per element, so its SoL cap is "
-        "budget/ops — above the take's ~38% through d=2048 (~49%) and "
-        "below it by d=4096 (~26%). Default GIDDY_TPU_DICT_PALLAS_MAX=2048 "
-        "sits on the winning side of that crossover."
+        "extra codes round-trip — halved in round 5 by storing the "
+        "intermediate codes uint16 (sol_ratio ~2.5 -> ~1.7, SoL cap ~38% "
+        "-> ~55%). Compute (ops census): the chain costs ~2 VPU ops + 1 "
+        "gather per 128-entry block per element, so its SoL cap is "
+        "budget/ops — above the take's through d=2048 (~49%) and below it "
+        "by d=4096 (~26%). Default GIDDY_TPU_DICT_PALLAS_MAX=2048 sits on "
+        "the winning side of that crossover. Design-space note (VERDICT r4 "
+        "next #6): a true two-level gather does not exist on this hardware "
+        "— Mosaic dynamic_gather is lane-local, a 2-gather composition "
+        "needs a collision-prone scatter, and the one-hot matmul "
+        "alternative costs 2*(d/128) VPU ops/elem to build the one-hot "
+        "plus 4*(d/128)*128 int8 MACs/elem (1.3x the MXU budget at d=4096, "
+        "5x at 16384) — structurally worse than the u16-take at every "
+        "d > 2048; see docs/DESIGN.md 3d."
     )
     out = REPO / "results" / "dict_ab.json"
     out.parent.mkdir(exist_ok=True)

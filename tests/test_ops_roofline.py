@@ -37,32 +37,29 @@ from giddy_tpu.util import GROUP
 # round-5 split — <= VPU_rate * bytes_per_elem / HBM_BW; likewise MXU MACs).
 MEMORY_BOUND = [
     "nbit", "for", "delta", "dict", "model", "bitmap", "dzbf",
-    "patched", "raw", "alp",
+    "patched", "raw", "alp", "rle", "rpe", "cascade",
 ]
 
 # Irregular kernels: documented absolute VPU-ops/element caps (census
 # value at freeze + ~20% headroom). Rationale per scheme:
 # - delta2: the closed-form double scan (one bf16 ramp matmul, round 4)
-#   runs ~26 ops/elem — a hair over its own budget only because the
-#   scheme's 10x ratio makes bytes/elem (hence the budget) tiny.
-# - rle/rpe: the tile-chain is a select chain over the group's padded run
-#   count (r_pad) — ~2 ops per run per element at this test's density;
-#   long-run columns (the scheme's winning regime) have far fewer.
+#   runs ~27 issue ops/elem — over its own budget only because the
+#   scheme's 8-10x ratio makes bytes/elem (hence the budget) tiny; the
+#   per-regime census (test_regime_census below) records the shape.
 # - dzbv: per-element byte realignment — round 5's tile layout (one packed
 #   exclusive rank scan + one in-tile gather per plane, kernels/dzbv.py)
-#   took the census 187.6 -> ~56; the residue is the 3-plane unpack/fold
-#   chain itself (~7 ops/plane) against a budget squeezed by the scheme's
-#   own compression ratio.
-# - cascade: inner-scheme decode (rle here: the binary-search expansion's
-#   log2(r_pad) in-tile gathers now charged as issue slots) + the fused
-#   VMEM dictionary gather.
+#   took the census 187.6 -> ~56 + 4.75 gathers; the residue is the
+#   3-plane unpack/fold chain itself (~7 ops/plane) against a budget
+#   squeezed by the scheme's own compression ratio.
 # - xordelta: the two-level tiled roll network's log2(128) full-width
 #   rolls are issue slots too (round-5 split) — 33 issue ops vs a ~29
 #   budget at this column's ratio; narrow streams (bits <= 4) ride the
 #   roll-free MXU parity scan instead.
+# rle/rpe/cascade moved to MEMORY_BOUND in round 5: the censused-cost W
+# selection (kernels/rle.py tile_prep) picks small tiles + short chains
+# for long-run columns (41 -> 14-18 issue ops at the census density).
 # Caps are on ISSUE slots (vpu + gather + roll) since round 5.
-OPS_CAPS = {"delta2": 33.0, "rle": 36.0, "rpe": 36.0, "dzbv": 67.0,
-            "cascade": 49.0, "xordelta": 40.0}
+OPS_CAPS = {"delta2": 33.0, "dzbv": 67.0, "xordelta": 40.0}
 
 
 def _audit(scheme: str):
@@ -131,3 +128,103 @@ def test_budget_sanity():
     col = gt.encode(gen_column("delta", 8 * GROUP, rng), "delta")
     b = ops_budget(col, "v5e")
     assert 15.0 <= b["vpu_ops_per_elem"] <= 30.0, b
+
+
+# ---------------------------------------------------------------------------
+# Regime-parameterized census (round 5, VERDICT r4 next #4): the irregular
+# kernels' costs are data-shape-bound, so one census density proves little.
+# These tests pin each scheme's behavior across its operating regimes and
+# machine-check the crossover constants the kernels ship with.
+# ---------------------------------------------------------------------------
+
+
+def _runs_col(n, avg, seed=1):
+    rng = np.random.default_rng(seed)
+    out = np.zeros(n, np.int32)
+    pos = 0
+    while pos < n:
+        ln = max(1, int(rng.integers(avg // 2, avg * 3 // 2 + 1)))
+        out[pos : pos + ln] = int(rng.integers(0, 100))
+        pos += ln
+    return out
+
+
+def test_rle_winning_regime_is_memory_bound():
+    """Long-run columns (avg ~1024; BASELINE configs[3] is ~2550) are RLE's
+    winning regime — the censused-cost W selection must land them on a
+    small-tile short chain that is memory-bound outright."""
+    col = gt.encode(_runs_col(8 * GROUP, 1024), "rle")
+    a = ops_audit(col)
+    assert a["memory_bound"], a["vpu_issue_per_elem"]
+    assert a["vpu_issue_per_elem"] <= 20.0, a["vpu_issue_per_elem"]
+
+
+@pytest.mark.parametrize("avg,bound", [(8, 45.0), (64, 36.0)])
+def test_rle_dense_regimes_bounded(avg, bound):
+    """Shorter-run regimes cost more (denser run tables) but stay flat:
+    the binary search caps the dense end at ~37 issue ops/elem regardless
+    of density — never the chain's O(w_pad)."""
+    col = gt.encode(_runs_col(8 * GROUP, avg), "rle")
+    a = ops_audit(col)
+    assert a["vpu_issue_per_elem"] <= bound, a["vpu_issue_per_elem"]
+
+
+def test_rle_rank_chain_crossover_pinned(monkeypatch):
+    """RANK_MIN (=16) is where the select chain meets the flat binary
+    search: census BOTH expansions on the same prepped column and check
+    the shipped crossover sits between the measured win regions."""
+    from giddy_tpu.format import EncodedColumn
+    from giddy_tpu.kernels import rle as krle
+
+    col = gt.encode(_runs_col(8 * GROUP, 8), "rle")  # dense: w_pad = 128
+    st = krle._prep(col, positions=False)
+    assert "vals_w" in st, "dense column must still take the tile form"
+    w_pad = st["vals_w"].shape[-1]
+    assert w_pad > krle.RANK_MIN, w_pad
+    pre = EncodedColumn(
+        name=col.name, scheme="rle", dtype=col.dtype, n=col.n,
+        params=col.params, streams=st,
+    )
+    shipped = krle.RANK_MIN
+    monkeypatch.setattr(krle, "RANK_MIN", 0)  # force the binary search
+    rank_cost = ops_audit(pre)["vpu_issue_per_elem"]
+    monkeypatch.setattr(krle, "RANK_MIN", 128)  # force the chain
+    chain_cost = ops_audit(pre)["vpu_issue_per_elem"]
+    # at this density the search must win outright, and the chain's
+    # measured per-run slope must cross the flat search cost near the
+    # shipped RANK_MIN — the machine check that the constant is census-
+    # derived, not folklore
+    assert rank_cost < chain_cost, (rank_cost, chain_cost, w_pad)
+    chain_per_run = chain_cost / w_pad
+    crossover = rank_cost / chain_per_run
+    assert crossover / 2 <= shipped <= crossover * 2, (
+        crossover, rank_cost, chain_per_run,
+    )
+
+
+def test_cascade_short_run_regime_bounded():
+    """cascade's standard census column (long runs) is memory-bound; the
+    short-run regime pays the search + dictionary gather but stays flat."""
+    rng = np.random.default_rng(5)
+    vocab = rng.integers(-(2**31), 2**31 - 1, 8, dtype=np.int64).astype(np.int32)
+    v = vocab[np.minimum(_runs_col(8 * GROUP, 8), 7)]
+    col = gt.encode(v, "cascade")
+    a = ops_audit(col)
+    assert a["vpu_issue_per_elem"] <= 50.0, a["vpu_issue_per_elem"]
+    assert not a["has_unbounded_loop"]
+
+
+def test_delta2_ratio_regimes():
+    """delta2's issue cost scales with the packed width (byte planes of
+    the double scan); its winning regime — tightly-jittered regular
+    timestamps, where its ratio beats delta's — must stay within 1.5x of
+    the memory-bound budget, and the wide regime must stay under the flat
+    4-plane ceiling."""
+    rng = np.random.default_rng(2)
+    tight = np.cumsum(np.full(8 * GROUP, 1000) + rng.integers(-3, 4, 8 * GROUP))
+    col_t = gt.encode((tight & 0x7FFFFFFF).astype(np.int32), "delta2")
+    a_t = ops_audit(col_t)
+    assert a_t["vpu_issue_per_elem"] <= 1.5 * a_t["budget"]["vpu_ops_per_elem"], a_t
+    mid = np.cumsum(np.full(8 * GROUP, 1000) + rng.integers(-200, 201, 8 * GROUP))
+    a_m = ops_audit(gt.encode((mid & 0x7FFFFFFF).astype(np.int32), "delta2"))
+    assert a_m["vpu_issue_per_elem"] <= 55.0, a_m["vpu_issue_per_elem"]

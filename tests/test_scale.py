@@ -48,3 +48,33 @@ def test_config1_delta_for_sorted_timestamps():
     for scheme in ("delta", "for"):
         col = gt.encode(ts, scheme, name=f"config1_{scheme}")
         np.testing.assert_array_equal(np.asarray(gt.decode(col)), ts)
+
+
+def test_config2_dict_low_cardinality_256mib():
+    """configs[2] at 256 MiB: low-cardinality dictionary column through
+    the fused VMEM-LUT path, multi-grid plan."""
+    n = 1 << 26
+    rng = np.random.default_rng(2)
+    d = 1000
+    vocab = rng.integers(-(2**31), 2**31 - 1, d, dtype=np.int64).astype(np.int32)
+    v = vocab[rng.integers(0, d, n)]
+    col = gt.encode(v, "dict", name="config2")
+    assert 0 < col.params["dict_size"] <= 2048  # fused-LUT regime
+    np.testing.assert_array_equal(np.asarray(gt.decode(col)), v)
+
+
+def test_config3_rle_status_flags_256mib():
+    """configs[3] at 256 MiB: long-run status flags (runs 100-5000, like
+    datagen's) through the tile-chain expansion, multi-grid plan."""
+    n = 1 << 26
+    rng = np.random.default_rng(3)
+    v = np.zeros(n, dtype=np.int32)
+    pos = 0
+    while pos < n:
+        ln = int(rng.integers(100, 5000))
+        v[pos : pos + ln] = int(rng.integers(0, 5))
+        pos += ln
+    for scheme in ("rle", "rpe"):
+        col = gt.encode(v, scheme, name=f"config3_{scheme}")
+        assert col.nbytes_compressed * 20 < col.nbytes_decoded
+        np.testing.assert_array_equal(np.asarray(gt.decode(col)), v)
