@@ -305,30 +305,99 @@ def _spawn_one(kind: str, args, env_extra: dict | None = None) -> dict:
     return best
 
 
+def _spawn_trials(kind: str, args, env_extra: dict, trials: int) -> list[dict]:
+    """N independent fresh-process trials (no best-of reduction) — the
+    sample the A/B statistics need."""
+    import subprocess
+    import tempfile
+
+    env = os.environ.copy()
+    env.update(env_extra)
+    out = []
+    for _ in range(trials):
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", kind,
+                   "--n", str(args.n), "--iters", str(args.iters), "--out", tf.name]
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900, env=env)
+            if proc.returncode != 0:
+                raise RuntimeError(f"bench subprocess {kind} failed:\n{proc.stderr[-2000:]}")
+            out.append(json.loads(pathlib.Path(tf.name).read_text()))
+    return out
+
+
+def _ab_stats(trials: list[dict]) -> dict:
+    xs = sorted(t["decode_GBps"] for t in trials)
+    n = len(xs)
+    med = xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+    mean = sum(xs) / n
+    return {
+        "trials_GBps": [round(x, 1) for x in xs],
+        "median_GBps": round(med, 1),
+        "mean_GBps": round(mean, 1),
+        "min_GBps": round(xs[0], 1),
+        "max_GBps": round(xs[-1], 1),
+    }
+
+
+# Shipped default per A/B row: what giddy_tpu actually runs with no env
+# overrides (lanes.scan_mode()/xor_mode()). The default-vs-record check
+# below compares these against the measured winners.
+_AB_ROWS = (
+    # (row key, env var, (modes...), shipped default, bench column kind)
+    ("delta", "GIDDY_TPU_SCAN", ("mxu", "roll"), "mxu", "delta"),
+    ("rle_dense", "GIDDY_TPU_SCAN", ("mxu", "roll"), "mxu", "rle_dense"),
+    ("dzbv", "GIDDY_TPU_SCAN", ("mxu", "roll"), "mxu", "dzbv"),
+    ("xordelta", "GIDDY_TPU_XOR", ("auto", "flat"), "auto", "xordelta"),
+    ("xordelta_narrow", "GIDDY_TPU_XOR", ("auto", "tiled"), "auto", "xordelta_narrow"),
+)
+
+
 def _scan_ab(args, outdir: pathlib.Path) -> dict:
-    """A/B the scan-family kernels under both cumsum implementations
-    (GIDDY_TPU_SCAN=mxu vs roll — docs/DESIGN.md §3b). Local wall-clock is
-    dispatch-bound (timing_suspect), so the record is for a future real
-    machine; bit-exactness of both modes is covered by the selftest."""
+    """A/B the scan-family kernels under their alternative implementations
+    (GIDDY_TPU_SCAN mxu/roll, GIDDY_TPU_XOR auto/flat/tiled —
+    docs/DESIGN.md §3b). Round 5 (VERDICT r4 weak #1): every variant runs
+    ``--ab-trials`` independent fresh-process trials and the record
+    carries the full sample + spread; a default is called the LOSER only
+    when the samples fully separate (max(default) < min(alternative)) —
+    anything less on this dispatch-bound clock is recorded as noise, and
+    the one consistent signal is the structural ops census. A separated
+    loss prints a loud warning so the default gets flipped or re-examined
+    on real hardware."""
+    trials = max(3, args.ab_trials)
     table: dict[str, dict] = {}
-    for scheme in ("delta", "rle_dense", "dzbv"):
-        table[scheme] = {}
-        for mode in ("mxu", "roll"):
-            r = _spawn_one(scheme, args, env_extra={"GIDDY_TPU_SCAN": mode})
-            table[scheme][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
-            print(f"[bench] scan-ab {scheme:6s} {mode:4s} {r['decode_GBps']:9.2f} GB/s",
-                  file=sys.stderr)
-    # prefix-XOR family (round 4): auto = two-level tiled roll at the bench
-    # column's width, flat = the original single-level network; the narrow
-    # column A/Bs the MXU parity scan (auto routes it) vs the tiled roll
-    for scheme, modes in (("xordelta", ("auto", "flat")),
-                          ("xordelta_narrow", ("auto", "tiled"))):
-        table[scheme] = {}
+    verdicts: dict[str, str] = {}
+    for row, envvar, modes, default, kind in _AB_ROWS:
+        table[row] = {}
         for mode in modes:
-            r = _spawn_one(scheme, args, env_extra={"GIDDY_TPU_XOR": mode})
-            table[scheme][mode] = {k: r[k] for k in ("decode_GBps", "time_s")}
-            print(f"[bench] scan-ab {scheme} {mode:5s} {r['decode_GBps']:9.2f} GB/s",
+            rs = _spawn_trials(kind, args, env_extra={envvar: mode}, trials=trials)
+            table[row][mode] = _ab_stats(rs)
+            print(f"[bench] scan-ab {row:15s} {mode:5s} "
+                  f"median {table[row][mode]['median_GBps']:9.1f} GB/s "
+                  f"range [{table[row][mode]['min_GBps']}, {table[row][mode]['max_GBps']}]",
                   file=sys.stderr)
+        alt = [m for m in modes if m != default]
+        d, a = table[row][default], table[row][alt[0]]
+        if d["min_GBps"] > a["max_GBps"]:
+            verdict = "default_wins_separated"
+        elif d["max_GBps"] < a["min_GBps"]:
+            verdict = "DEFAULT_LOSES_SEPARATED"
+            print(f"[bench] WARNING: shipped default {envvar}={default} for "
+                  f"{row} loses to {alt[0]} with fully separated samples "
+                  f"({d['max_GBps']} < {a['min_GBps']} GB/s) — flip the "
+                  f"default or re-measure on physical hardware", file=sys.stderr)
+        else:
+            verdict = "overlapping_noise"
+        table[row]["default"] = default
+        table[row]["verdict"] = verdict
+        verdicts[row] = verdict
+    table["_note"] = (
+        "Each variant: independent fresh-process trials (full sample "
+        "recorded). The axon tunnel clock is dispatch-bound, so medians "
+        "are relative at best; a default is only declared the loser on "
+        "full sample separation. Structural evidence (ops census, traffic "
+        "audit) remains the primary perf record."
+    )
+    table["_trials_per_variant"] = trials
     (outdir / "scan_ab.json").write_text(json.dumps(table, indent=2))
     return table
 
@@ -339,6 +408,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--trials", type=int, default=2,
                     help="fresh-process trials per scheme; best kept")
+    ap.add_argument("--ab-trials", type=int, default=5,
+                    help="independent trials per scan-ab variant (full "
+                         "sample recorded with spread; round 5)")
     ap.add_argument("--schemes", type=str, default=",".join(HEADLINE))
     ap.add_argument("--mixed", action="store_true", help="also run the mixed-container config")
     ap.add_argument("--dist", action="store_true", help="also run sharded decode over local devices")

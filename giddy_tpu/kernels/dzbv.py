@@ -66,11 +66,77 @@ TPG = GROUP // TILE  # tiles per group row
 # source windows straddle a 128-lane boundary; the kernel pays one extra
 # gather + select on exactly those chunks (see _tile_pass_call).
 STRIDE_Q = 8
+_DIVISORS = (8, 16, 32, 64, 128)
+# Per-element cost model for the stride choice (round 5): shared kernel
+# overhead, per-plane unpack/rank/gather/fold, the extra gather+clamp+
+# select on straddling chunks, and the op-equivalent price of one stored
+# byte (VPU_rate / HBM_BW on a v5e — kernels/rle.py OPS_PER_BYTE
+# rationale). BASE/PLANE are calibrated to the measured ops census
+# (results_rounds/r5/regime_census.json: ~14 shared + ~13/plane).
+_OPS_BASE = 14.0
+_OPS_PLANE = 13.0
+_OPS_STRADDLE = 4.0
+_KAPPA = 4.6
 
 
 def _stride_for(max_cnt: int) -> int:
     # per-tile count is <= 128 by definition
     return min(cdiv(max(max_cnt, 1), STRIDE_Q) * STRIDE_Q, TILE)
+
+
+def _straddle_frac(s: int) -> float:
+    """Fraction of dest tiles whose source window straddles a 128-lane
+    boundary at stride ``s`` (0 for divisors of 128)."""
+    import math
+
+    mP = TILE // math.gcd(TILE, s)
+    nP = mP * s // TILE
+    return (nP - 1) / mP
+
+
+def choose_strides(
+    max_cnts: dict[int, int], means: dict[int, float] | None = None
+) -> dict[int, int]:
+    """Per-plane stride selection minimizing the column's estimated
+    ``max(compute_ops, stored_bytes * KAPPA)`` per element — the real
+    objective for a kernel that may sit on either side of the roofline.
+    Candidates per plane: the TIGHT stride (multiple of 8 >= max count:
+    least padding, but non-divisor strides pay a second gather + select on
+    straddling chunks) and the next DIVISOR of 128 (zero straddle cost,
+    more padding). While the decode is compute-dominated the divisor's
+    extra bytes ride for free, so it usually wins; byte-tight columns keep
+    the tight strides. ``means`` (mean plane bytes/element) additionally
+    enforces the single-pass traffic bound the selftest asserts: stored
+    traffic stays <= 1.12x of the compressed+decoded ideal, whatever the
+    compute score says. 2^planes <= 8 combos, enumerated exactly."""
+    import itertools
+
+    planes = sorted(max_cnts)
+    cands = []
+    for k in planes:
+        mx = max(int(max_cnts[k]), 1)
+        tight = _stride_for(mx)
+        div = next(s for s in _DIVISORS if s >= mx)
+        cands.append(sorted({tight, div}))
+    ideal = None
+    if means is not None:
+        ideal = 0.25 + 1.0 + 4.0 + sum(means.get(k, 0.0) for k in planes)
+    best = best_any = None
+    for combo in itertools.product(*cands):
+        ops = _OPS_BASE
+        bytes_pe = 0.25 + 1.0 + 4.0  # widths + plane0 + the decoded write
+        for s in combo:
+            ops += _OPS_PLANE + _OPS_STRADDLE * _straddle_frac(s)
+            bytes_pe += s / TILE
+        score = max(ops, _KAPPA * bytes_pe)
+        if best_any is None or (bytes_pe, score) < best_any[:2]:
+            best_any = (bytes_pe, score, combo)
+        if ideal is not None and bytes_pe > 1.12 * ideal:
+            continue
+        if best is None or score < best[0]:
+            best = (score, combo)
+    combo = best[1] if best is not None else best_any[2]
+    return dict(zip(planes, combo))
 
 
 def tile_prep(col: EncodedColumn, force_s: dict | None = None) -> dict | None:
@@ -96,22 +162,32 @@ def tile_prep(col: EncodedColumn, force_s: dict | None = None) -> dict | None:
     if not present:
         return streams
     w = lmp_unpack(col.streams["widths"], 2, n_pad).astype(np.int32)
+    cnts = {k: (w >= k).reshape(ng * TPG, TILE).sum(axis=1) for k in present}
+    if force_s is not None:
+        strides = force_s
+    else:
+        strides = choose_strides(
+            {k: int(cnts[k].max()) for k in present},
+            {k: float(cnts[k].sum()) / n_pad for k in present},
+        )
     trows = {}
     total_pad = 0
     ragged = 1 if col.n < n_pad else 0  # tail group exempt from the skew
     # accounting, as in group_prep: its output write is padded anyway
     for k in present:
-        mask = w >= k
-        cnt = mask.reshape(ng * TPG, TILE).sum(axis=1)
+        cnt = cnts[k]
         total = int(cnt.sum())
-        s = force_s[k] if force_s else _stride_for(int(cnt.max()))
+        s = strides[k]
         assert int(cnt.max()) <= s, (k, int(cnt.max()), s)
         full_tiles = (ng - ragged) * TPG
         tail_real = int(cnt[full_tiles:].sum())
-        total_pad += full_tiles * s - (total - tail_real)
+        # the skew cap judges the layout FAMILY at its least-padded
+        # (tight) strides; a chosen divisor stride's extra padding is a
+        # priced-in compute/bytes trade, not skew
+        total_pad += full_tiles * _stride_for(int(cnt.max())) - (total - tail_real)
         mat = np.zeros(ng * TPG * s, np.uint32)
         if total:
-            sel = np.flatnonzero(mask)
+            sel = np.flatnonzero(w >= k)
             tile_of = sel >> 7
             excl = np.cumsum(cnt) - cnt
             r = np.arange(total, dtype=np.int64) - excl[tile_of]
@@ -139,19 +215,20 @@ def global_tile_s(tile_counts: dict, *, ragged: bool = False) -> dict | None:
     tries the group-row layout). ``ragged``: exempt the final group's
     tiles from the skew accounting, as tile_prep does — their output write
     is padded regardless."""
-    ss = {}
+    live = {k: cnt for k, cnt in tile_counts.items() if int(cnt.sum())}
     total_pad = 0
     n_tiles = 0
-    for k, cnt in tile_counts.items():
-        if int(cnt.sum()) == 0:
-            continue
+    for k, cnt in live.items():
         n_tiles = cnt.shape[0]
         full = n_tiles - (TPG if ragged else 0)
-        ss[k] = _stride_for(int(cnt.max()))
-        total_pad += full * ss[k] - int(cnt[:full].sum())
+        # cap on the tight strides, as tile_prep does
+        total_pad += full * _stride_for(int(cnt.max())) - int(cnt[:full].sum())
     if n_tiles and total_pad > PAD_CAP * (n_tiles * TILE * 4):
         return None
-    return ss
+    return choose_strides(
+        {k: int(cnt.max()) for k, cnt in live.items()},
+        {k: float(cnt.sum()) / (n_tiles * TILE) for k, cnt in live.items()},
+    )
 
 
 def group_prep(col: EncodedColumn, force_w4: dict | None = None) -> dict | None:

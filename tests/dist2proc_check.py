@@ -126,6 +126,85 @@ def worker() -> None:
         if pid == 0:
             print(f"[dist2] {scheme}: ok ({n_local} elems/process)", flush=True)
 
+    # --- round 5 (VERDICT r4 next #7): the full configs[4] surface on the
+    # multi-controller mesh — the compiled programs can differ from the
+    # single-process ones, so each gets its own 2-process proof ---
+
+    # 1) mixed container, ONE jitted program for all columns (the
+    #    decode_columns_sharded structure, verified per-process via
+    #    addressable shards — a global np.asarray would need cross-process
+    #    gathers)
+    import jax as _jax
+
+    mix = [
+        (s, gen_column(s, 8 * GROUP + 99, rng))
+        for s in ("delta", "dict", "rle", "patched")
+    ]
+    cols = [gt.encode(v, s, name=f"mix_{s}") for s, v in mix]
+    built = [build_sharded_decoder(c, mesh, axis) for c in cols]
+    fns = tuple(f for f, _ in built)
+
+    @_jax.jit
+    def run_container(args_list):
+        return [f(*a) for f, a in zip(fns, args_list)]
+
+    outs = run_container([a for _, a in built])
+    _jax.block_until_ready(outs)
+    for c, u in zip(cols, outs):
+        ref = gt.decode_ref(c).view(np.uint32)
+        ref_pad = np.zeros(num_groups(c.n) * GROUP, np.uint32)
+        ref_pad[: c.n] = ref
+        for shard in u.addressable_shards:
+            got = np.asarray(shard.data).reshape(-1)
+            lo = shard.index[0].start or 0
+            real = max(0, min(c.n - lo, got.shape[0]))
+            np.testing.assert_array_equal(
+                got[:real], ref_pad[lo : lo + real], err_msg=f"mixed {c.name}"
+            )
+    if pid == 0:
+        print("[dist2] mixed-container: ok (one program, 4 columns)", flush=True)
+
+    # 2) sharded scans + GROUP BY across the process boundary
+    from giddy_tpu.dist_query import count_where_sharded, group_reduce_sharded
+
+    sv = gen_column("delta", 8 * GROUP + 77, rng)
+    scol = gt.encode(sv, "delta", name="d2_scan")
+    med = int(np.median(sv))
+    assert count_where_sharded(scol, "lt", med, mesh, axis) == int((sv < med).sum())
+    vocab = np.arange(9, dtype=np.int32) * 3 - 10
+    kv = vocab[rng.integers(0, 9, 8 * GROUP + 77)]
+    mv = rng.integers(-(2**20), 2**20, kv.size).astype(np.int32)
+    r = group_reduce_sharded(
+        gt.encode(kv, "cascade"), gt.encode(mv, "for"),
+        ("count", "sum", "min", "max"), mesh=mesh, axis=axis,
+    )
+    codes = np.searchsorted(vocab, kv)
+    for c in range(9):
+        sel = mv[codes == c]
+        assert int(r.count[c]) == sel.size
+        assert int(r.sum[c]) == int(sel.astype(np.int64).sum())
+        assert int(r.min[c]) == int(sel.min()) and int(r.max[c]) == int(sel.max())
+    if pid == 0:
+        print("[dist2] scans+groupby: ok", flush=True)
+
+    # 3) zero-collective HLO machine-check ON THIS multi-controller mesh:
+    #    the sharded filter fold compiled here must contain no collectives
+    #    (the single-process check cannot stand in for this program)
+    import jax.numpy as jnp
+
+    from giddy_tpu.dist_query import _args, _scan_fn
+    from giddy_tpu.query import _stage_value
+
+    fn = _scan_fn(scol, mesh, axis, "filter", "lt")
+    hlo = fn.lower(
+        jnp.asarray(_stage_value(scol.dtype, 0)), None, *_args(scol, mesh, axis)
+    ).compile().as_text().lower()
+    for coll in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, ("2proc-hlo", coll)
+    if pid == 0:
+        print("[dist2] zero-collective-hlo (multi-controller): ok", flush=True)
+
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("giddy_dist2_done")

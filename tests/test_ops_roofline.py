@@ -59,7 +59,7 @@ MEMORY_BOUND = [
 # selection (kernels/rle.py tile_prep) picks small tiles + short chains
 # for long-run columns (41 -> 14-18 issue ops at the census density).
 # Caps are on ISSUE slots (vpu + gather + roll) since round 5.
-OPS_CAPS = {"delta2": 33.0, "dzbv": 67.0, "xordelta": 40.0}
+OPS_CAPS = {"delta2": 33.0, "dzbv": 60.0, "xordelta": 40.0}
 
 
 def _audit(scheme: str):
