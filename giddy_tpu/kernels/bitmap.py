@@ -41,14 +41,11 @@ def build(col: EncodedColumn, out_store=None):
             return acc.reshape(ng * GROUP)
 
         return decode_xla
-    from .common import resolve_narrow, store
+    from .common import narrow_geom, store
 
     bpg = 2 * 4 * (d * LANES + GROUP)
     pl_plan = plan(ng * GROUP, bpg)
-    if jnp.dtype(out_dt).itemsize < 4:
-        pl_plan, accepted = resolve_narrow(pl_plan, jnp.dtype(out_dt).itemsize, bpg)
-        if not accepted:
-            out_dt = jnp.uint32
+    geom = narrow_geom(GROUP, jnp.dtype(out_dt).itemsize)
     r = pl_plan.groups_per_block
 
     def kernel(bm_ref, val_ref, out_ref):
@@ -57,6 +54,12 @@ def build(col: EncodedColumn, out_store=None):
             acc += unpack_lanes(bm_ref[dd], 1) * val_ref[0, dd]
         store(out_ref, acc)
 
+    if geom:
+        out_specs = block_spec((r, *geom), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((ng, *geom), out_dt)
+    else:
+        out_specs = block_spec((r, GROUP), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((ng, GROUP), out_dt)
     call = pl.pallas_call(
         kernel,
         grid=(pl_plan.grid,),
@@ -64,8 +67,8 @@ def build(col: EncodedColumn, out_store=None):
             block_spec((d, r, LANES), lambda i: (0, i, 0)),
             smem_spec((1, d), lambda i: (0, 0)),
         ],
-        out_specs=block_spec((r, GROUP), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ng, GROUP), out_dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=use_interpret(),
     )
 

@@ -86,7 +86,14 @@ def store(out_ref, v) -> None:
     """Final store, narrowing to the output block's dtype when the decode
     was built with a storage-width ``out_store`` (int8/int16 columns write
     1/4 or 1/2 the HBM bytes; truncation == the format's zero-extension
-    inverse, util.u32_to_dtype)."""
+    inverse, util.u32_to_dtype).
+
+    Narrow out blocks are 3D ``(r, sub, w2)`` (see :func:`narrow_geom`):
+    the (r, width) value folds its minor dim into sublane rows first — the
+    same minor-split reshape the MXU scan already lowers (lanes._mxu_cumsum
+    reshapes (rows, width) -> (rows*nt, 128) in-kernel)."""
+    if v.shape != out_ref.shape:
+        v = v.reshape(out_ref.shape)
     out_ref[:] = v if v.dtype == out_ref.dtype else v.astype(out_ref.dtype)
 
 
@@ -94,6 +101,31 @@ def store(out_ref, v) -> None:
 # block's row dim divisible by the dtype's sublane tile (int8 packs 32
 # sublanes per vreg, 16-bit packs 16) unless the block covers the array.
 _SUBLANE_TILE = {1: 32, 2: 16, 4: 8}
+
+
+def narrow_geom(out_width: int, itemsize: int):
+    """3D narrow-store block geometry ``(sub, w2)`` or None.
+
+    A 2D narrow out block (r, width) forces ``r % sub == 0``, and aligning
+    r multiplies the whole block working set — VMEM-infeasible for the
+    scan-bearing schemes at GROUP width (the round-5 selftest-at-2^22
+    lesson: delta declined its int16 store at ng=129). Declaring the SAME
+    bytes as (r, sub, w2 = width/sub) puts the sublane tile in the block's
+    own middle dim, so ANY r satisfies Mosaic's tiling; the kernel-side
+    cost is one minor-split reshape at store time (a lowering
+    lanes._mxu_cumsum already exercises every call). Requires the split
+    row to hold whole lane tiles — and whole LMP slots for the unpack_to
+    writers — i.e. ``w2 % LANES == 0`` (GROUP widths always qualify:
+    u8 -> (32, 1024), u16 -> (16, 2048))."""
+    if itemsize >= 4:
+        return None
+    from ..util import LANES
+
+    sub = _SUBLANE_TILE[itemsize]
+    w2, rem = divmod(out_width, sub)
+    if rem or w2 % LANES:
+        return None
+    return sub, w2
 
 
 def resolve_narrow(pl_plan: Plan, itemsize: int, bytes_per_group: int):
@@ -151,7 +183,9 @@ def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = 
             bytes_per_group += 4 * out_width  # the u32 codes scratch below
     if pl_plan is None:
         pl_plan = plan(ng * GROUP, bytes_per_group)
-    if itemsize < 4:
+    geom = narrow_geom(out_width, itemsize)
+    if itemsize < 4 and geom is None:
+        # width doesn't split into whole slots: fall back to row alignment
         pl_plan, accepted = resolve_narrow(pl_plan, itemsize, bytes_per_group)
         if not accepted:
             out_dtype, itemsize = jnp.uint32, 4
@@ -178,12 +212,19 @@ def row_blocked_call(kernel, *, ng: int, in_widths: list[int], out_width: int = 
                 out_ref[:] = gather_lut(dic_ref[:], out_ref[:])
 
         in_specs = [block_spec((r, lut_d_pad), lambda i: (0, 0))] + in_specs
+    if itemsize < 4 and geom is not None:
+        sub, w2 = geom
+        out_specs = block_spec((r, sub, w2), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((ng, sub, w2), out_dtype)
+    else:
+        out_specs = block_spec((r, out_width), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((ng, out_width), out_dtype)
     call = pl.pallas_call(
         body,
         grid=(pl_plan.grid,),
         in_specs=in_specs,
-        out_specs=block_spec((r, out_width), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ng, out_width), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=use_interpret(),
     )

@@ -89,8 +89,8 @@ def build(col: EncodedColumn, out_store=None):
     # codes at their NATURAL width (uint16 for d <= 65536, the realistic
     # ceiling for dictionary columns): the codes round-trip halves, taking
     # the structural SoL cap from ~41% to ~58% (round 5; dict_ab.json).
-    # resolve_narrow may decline the narrow store for awkward plans — the
-    # take's int32 cast absorbs either width.
+    # The 3D narrow geometry (common.narrow_geom) always accepts GROUP-wide
+    # stores; the take's int32 cast absorbs either width regardless.
     code_store = jnp.uint16 if 0 < d <= 65536 else jnp.uint32
     call = row_blocked_call(
         kernel, ng=ng, in_widths=[bits * LANES], out_dtype=code_store

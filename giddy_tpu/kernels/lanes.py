@@ -66,17 +66,30 @@ def unpack_lanes(x: jax.Array, bits: int) -> jax.Array:
     return jnp.concatenate([unpack_slot(x, bits, i) for i in range(SLOTS)], axis=1)
 
 
+def _slot_dst(out_ref, i: int):
+    """Destination index of slot ``i``'s (R, LANES) vector in ``out_ref``:
+    the column slice [i*LANES, (i+1)*LANES) of a (R, GROUP) ref, or the
+    matching (row, lane-range) of the 3D narrow-store geometry
+    (common.narrow_geom — w2 % LANES == 0 guarantees whole slots per
+    middle row, so the slice indices stay static full lane tiles)."""
+    if out_ref.ndim == 2:
+        return (slice(None), slice(i * LANES, (i + 1) * LANES))
+    q, c = divmod(i * LANES, out_ref.shape[2])
+    return (slice(None), q, slice(c, c + LANES))
+
+
 def unpack_to(out_ref, x: jax.Array, bits: int) -> None:
     """LMP unpack writing each slot's vector straight into ``out_ref``
-    (a (R, GROUP) ref) — avoids materializing the concatenation when the
-    kernel has no further use for the full block (nbit/dzbf). Narrow
-    ``out_ref`` dtypes store at storage width (truncating slot stores)."""
+    (a (R, GROUP) or narrow 3D ref) — avoids materializing the
+    concatenation when the kernel has no further use for the full block
+    (nbit/dzbf). Narrow ``out_ref`` dtypes store at storage width
+    (truncating slot stores)."""
     x = _u32(x)
     for i in range(SLOTS):
         v = unpack_slot(x, bits, i)
         if out_ref.dtype != v.dtype:
             v = v.astype(out_ref.dtype)
-        out_ref[:, i * LANES : (i + 1) * LANES] = v
+        out_ref[_slot_dst(out_ref, i)] = v
 
 
 def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
@@ -90,7 +103,7 @@ def unpack_map_to(out_ref, x: jax.Array, bits: int, epilogue) -> None:
         v = epilogue(unpack_slot(x, bits, i), i)
         if out_ref.dtype != v.dtype:
             v = v.astype(out_ref.dtype)
-        out_ref[:, i * LANES : (i + 1) * LANES] = v
+        out_ref[_slot_dst(out_ref, i)] = v
 
 
 def unpack_fold(x: jax.Array, bits: int, fold, init):

@@ -297,16 +297,13 @@ def _rank_call(rows: int, W: int, w_pad: int, lut_d_pad: int | None = None, out_
 
 
 def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None, out_dtype=jnp.uint32):
-    from .common import resolve_narrow, store
+    from .common import narrow_geom, store
     from .lanes import scan_scratch_bytes
 
     extra = 4 * lut_d_pad if lut_d_pad else 0
     bpg = 2 * 4 * (GROUP + GROUP) + extra + scan_scratch_bytes()
     pl_plan = plan(ng * GROUP, bpg)
-    if jnp.dtype(out_dtype).itemsize < 4:
-        pl_plan, accepted = resolve_narrow(pl_plan, jnp.dtype(out_dtype).itemsize, bpg)
-        if not accepted:
-            out_dtype = jnp.uint32
+    geom = narrow_geom(GROUP, jnp.dtype(out_dtype).itemsize)
     r = pl_plan.groups_per_block
 
     def kernel(*refs):
@@ -318,12 +315,18 @@ def _cumsum_rows_call(ng: int, lut_d_pad: int | None = None, out_dtype=jnp.uint3
         store(refs[-1], out)
 
     lut_specs = [block_spec((r, lut_d_pad), lambda i: (0, 0))] if lut_d_pad else []
+    if geom:
+        out_specs = block_spec((r, *geom), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((ng, *geom), out_dtype)
+    else:
+        out_specs = block_spec((r, GROUP), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((ng, GROUP), out_dtype)
     call = pl.pallas_call(
         kernel,
         grid=(pl_plan.grid,),
         in_specs=lut_specs + [block_spec((r, GROUP), lambda i: (i, 0))],
-        out_specs=block_spec((r, GROUP), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ng, GROUP), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=use_interpret(),
     )
     if lut_d_pad:
