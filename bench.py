@@ -284,6 +284,14 @@ def _spawn_one(kind: str, args, env_extra: dict | None = None) -> dict:
     several-x between runs, so one draw is not a fair record; the fastest
     trial is the closest to the machine's capability (standard
     best-of-N benchmarking)."""
+    rs = _spawn_trials(kind, args, env_extra or {}, max(1, args.trials))
+    return max(rs, key=lambda r: r.get("decode_GBps", 0))
+
+
+def _spawn_trials(kind: str, args, env_extra: dict, trials: int) -> list[dict]:
+    """N independent fresh-process trials (no best-of reduction) — the
+    sample the A/B statistics need, and the single subprocess protocol
+    every bench spawn goes through."""
     import subprocess
     import tempfile
 
@@ -291,28 +299,6 @@ def _spawn_one(kind: str, args, env_extra: dict | None = None) -> dict:
     if env_extra:
         env = os.environ.copy()
         env.update(env_extra)
-    best = None
-    for _ in range(max(1, args.trials)):
-        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
-            cmd = [sys.executable, os.path.abspath(__file__), "--one", kind,
-                   "--n", str(args.n), "--iters", str(args.iters), "--out", tf.name]
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900, env=env)
-            if proc.returncode != 0:
-                raise RuntimeError(f"bench subprocess {kind} failed:\n{proc.stderr[-2000:]}")
-            r = json.loads(pathlib.Path(tf.name).read_text())
-        if best is None or r.get("decode_GBps", 0) > best.get("decode_GBps", 0):
-            best = r
-    return best
-
-
-def _spawn_trials(kind: str, args, env_extra: dict, trials: int) -> list[dict]:
-    """N independent fresh-process trials (no best-of reduction) — the
-    sample the A/B statistics need."""
-    import subprocess
-    import tempfile
-
-    env = os.environ.copy()
-    env.update(env_extra)
     out = []
     for _ in range(trials):
         with tempfile.NamedTemporaryFile(suffix=".json") as tf:
@@ -365,7 +351,6 @@ def _scan_ab(args, outdir: pathlib.Path) -> dict:
     on real hardware."""
     trials = max(3, args.ab_trials)
     table: dict[str, dict] = {}
-    verdicts: dict[str, str] = {}
     for row, envvar, modes, default, kind in _AB_ROWS:
         table[row] = {}
         for mode in modes:
@@ -389,7 +374,6 @@ def _scan_ab(args, outdir: pathlib.Path) -> dict:
             verdict = "overlapping_noise"
         table[row]["default"] = default
         table[row]["verdict"] = verdict
-        verdicts[row] = verdict
     table["_note"] = (
         "Each variant: independent fresh-process trials (full sample "
         "recorded). The axon tunnel clock is dispatch-bound, so medians "

@@ -170,21 +170,30 @@ def tile_prep(col: EncodedColumn, force_s: dict | None = None) -> dict | None:
             {k: int(cnts[k].max()) for k in present},
             {k: float(cnts[k].sum()) / n_pad for k in present},
         )
-    trows = {}
-    total_pad = 0
     ragged = 1 if col.n < n_pad else 0  # tail group exempt from the skew
     # accounting, as in group_prep: its output write is padded anyway
+    if force_s is None:
+        # judge skew from the counts alone BEFORE paying for the re-layout
+        # (the full column-sized scatter below would just be discarded);
+        # the cap judges the layout FAMILY at its least-padded (tight)
+        # strides — a chosen divisor stride's extra padding is a priced-in
+        # compute/bytes trade, not skew
+        full_tiles = (ng - ragged) * TPG
+        total_pad = 0
+        for k in present:
+            cnt = cnts[k]
+            tail_real = int(cnt[full_tiles:].sum())
+            total_pad += full_tiles * _stride_for(int(cnt.max())) - (
+                int(cnt.sum()) - tail_real
+            )
+        if total_pad > PAD_CAP * (ng * GROUP * 4):
+            return None
+    trows = {}
     for k in present:
         cnt = cnts[k]
         total = int(cnt.sum())
         s = strides[k]
         assert int(cnt.max()) <= s, (k, int(cnt.max()), s)
-        full_tiles = (ng - ragged) * TPG
-        tail_real = int(cnt[full_tiles:].sum())
-        # the skew cap judges the layout FAMILY at its least-padded
-        # (tight) strides; a chosen divisor stride's extra padding is a
-        # priced-in compute/bytes trade, not skew
-        total_pad += full_tiles * _stride_for(int(cnt.max())) - (total - tail_real)
         mat = np.zeros(ng * TPG * s, np.uint32)
         if total:
             sel = np.flatnonzero(w >= k)
@@ -202,8 +211,6 @@ def tile_prep(col: EncodedColumn, force_s: dict | None = None) -> dict | None:
             | (m4[:, :, 3] << np.uint32(24))
         )
         trows[f"trow{k}"] = np.ascontiguousarray(words.reshape(ng, TPG * s // 4))
-    if force_s is None and total_pad > PAD_CAP * (ng * GROUP * 4):
-        return None
     streams.update(trows)
     return streams
 

@@ -119,9 +119,15 @@ def tile_prep(run_values, bounds, *, positions: bool):
         w_pad = max(8, next_power_of_2(int(counts.max())))
         if w_pad > CHAIN_HARD:
             continue
-        expand = CHAIN_OPS_PER_RUN * w_pad if w_pad <= RANK_MIN else min(
-            RANK_OPS, CHAIN_OPS_PER_RUN * w_pad
-        )
+        # mirror _build's dispatch exactly: the binary search only runs
+        # for RANK_MIN < w_pad <= 128 (it addresses one 128-lane table);
+        # everything else pays the chain — pricing w_pad > 128 at
+        # RANK_OPS would let a mispriced candidate win under a raised
+        # GIDDY_TPU_RLE_CHAIN_HARD and then decode ~2*w_pad ops/elem
+        if RANK_MIN < w_pad <= 128:
+            expand = min(RANK_OPS, CHAIN_OPS_PER_RUN * w_pad)
+        else:
+            expand = CHAIN_OPS_PER_RUN * w_pad
         cost = expand + (T * w_pad * 8 / GROUP) * OPS_PER_BYTE
         if best_cost is None or cost < best_cost:
             chosen, best_cost = (W, T, w_pad), cost
