@@ -52,7 +52,9 @@ def build(col: EncodedColumn, out_store=None):
         values = streams["values"]
         if out_store is not None:  # narrow the table so the take WRITES narrow
             values = values.astype(out_store)
-        return jnp.take(values, codes.astype(jnp.int32), axis=0)
+        # unsigned codes index the take directly (kernels/dict_.py: an
+        # int32 astype materializes a 4 B/elem index temp on chip)
+        return jnp.take(values, codes, axis=0)
 
     return decode
 

@@ -9,10 +9,11 @@ dictionary in shared memory — ``dictionary.cuh``, SURVEY.md §3.1):
   (blocked 128-lane dynamic_gather + select chain). A/B on the v5e
   (scripts/dict_ab.py -> results/dict_ab.json): the fused path shows
   ``temp_bytes == 0`` and traffic ratio 1.0 at every dictionary size
-  tested (64..4096, bit-exact), while the XLA ``take`` pays at least one
-  extra decoded-bytes HBM pass (ratio ~2.5x, ballooning to ~28x at tiny d
-  where XLA's gather lowering goes pathological). Wall-clock on the local
-  tunnel is dispatch-bound, so the structural columns are the evidence.
+  tested (64..4096, bit-exact), while the XLA ``take`` pays the codes
+  round-trip (measured ratio ~1.33-1.39 with u16 codes indexed directly
+  — round 5; ballooning to ~26x at tiny d where XLA's gather lowering
+  goes pathological). Wall-clock on the local tunnel is dispatch-bound,
+  so the structural columns are the evidence.
 - larger d: codes unpack in Pallas, then an XLA ``take``. The fused chain
   also works (and stays single-pass) at d = 4096, but its Mosaic compile
   time grows with d_pad/128 unrolled gather blocks — the threshold trades
@@ -87,8 +88,9 @@ def build(col: EncodedColumn, out_store=None):
     # Fallback: codes unpack in Pallas, then an XLA take. The extra HBM
     # round-trip is the path's structural cost — so store the intermediate
     # codes at their NATURAL width (uint16 for d <= 65536, the realistic
-    # ceiling for dictionary columns): the codes round-trip halves, taking
-    # the structural SoL cap from ~41% to ~58% (round 5; dict_ab.json).
+    # ceiling for dictionary columns): with the direct u16-indexed take
+    # below, the measured round-trip drops to sol_ratio ~1.33-1.39 — a
+    # ~72-75% structural SoL cap, vs ~40% in round 4 (dict_ab.json).
     # The 3D narrow geometry (common.narrow_geom) always accepts GROUP-wide
     # stores; the take's int32 cast absorbs either width regardless.
     code_store = jnp.uint16 if 0 < d <= 65536 else jnp.uint32
@@ -105,7 +107,11 @@ def build(col: EncodedColumn, out_store=None):
         values = streams["values"]
         if out_store is not None:  # narrow the table so the take WRITES narrow
             values = values.astype(out_store)
-        return jnp.take(values, codes.astype(jnp.int32), axis=0)
+        # unsigned codes index the take DIRECTLY: an astype(int32) here
+        # forces XLA to materialize a full-width index temp (4 B/elem —
+        # measured on chip: it silently paid back the whole uint16 code
+        # saving), while u16/u32 gather indices cost nothing extra
+        return jnp.take(values, codes, axis=0)
 
     return decode
 

@@ -85,9 +85,12 @@ def main() -> None:
         "wall-clock is dispatch-bound on the axon tunnel (treat time_us as "
         "noisy); the decisive columns are structural. Bytes: the fused LUT "
         "is single-pass (temp 0, sol_ratio ~1) while the XLA take pays an "
-        "extra codes round-trip — halved in round 5 by storing the "
-        "intermediate codes uint16 (sol_ratio ~2.5 -> ~1.7, SoL cap ~38% "
-        "-> ~55%). Compute (ops census): the chain costs ~2 VPU ops + 1 "
+        "extra codes round-trip — cut in round 5 by storing the "
+        "intermediate codes uint16 AND indexing the take with them "
+        "directly (an astype(int32) materialized a 4 B/elem index temp "
+        "on chip that paid back the uint16 saving; measured sol_ratio "
+        "~2.5 -> ~1.33-1.39, SoL cap ~40% -> ~72-75%). Compute (ops "
+        "census): the chain costs ~2 VPU ops + 1 "
         "gather per 128-entry block per element, so its SoL cap is "
         "budget/ops — above the take's through d=2048 (~49%) and below it "
         "by d=4096 (~26%). Default GIDDY_TPU_DICT_PALLAS_MAX=2048 sits on "
