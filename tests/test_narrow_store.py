@@ -84,18 +84,34 @@ def test_u32_contract_callers_unaffected():
     assert str(u.dtype) == "uint32"
 
 
-def test_narrow_engages_on_scan_heavy_multigrid():
-    """Round 5: scan-heavy schemes keep the narrow store at multi-grid
-    sizes. Sublane ROW alignment would quadruple the block working set
-    (the round-4 decline); the 3D narrow geometry (common.narrow_geom)
-    instead folds the minor dim into sublane rows, so the plan — and its
-    VMEM footprint — is untouched at any groups_per_block."""
+@pytest.mark.parametrize(
+    "scheme", ["delta", "rle", "dict", "bitmap", "dzbv", "nbit", "patched"]
+)
+def test_narrow_engages_on_multigrid(scheme):
+    """Round 5: EVERY narrow scheme keeps its store at multi-grid sizes.
+    Sublane ROW alignment would multiply a scan-heavy block's working set
+    (the round-4 decline for delta/rle/dzbv); the 3D narrow geometry
+    (common.narrow_geom) instead folds the minor dim into sublane rows,
+    so the plan — and its VMEM footprint — is untouched at any
+    groups_per_block."""
     n = 40 * GROUP + 5  # grid > 1 at gpb 8; row alignment would blow VMEM
-    v = (np.arange(n) % 120).astype(np.int8)
-    col = gt.encode(v, "delta")
+    rng = np.random.default_rng(21)
+    if scheme == "delta":
+        v = (np.arange(n) % 120).astype(np.int8)
+    elif scheme == "rle":
+        v = ((np.arange(n) // 900) % 20000).astype(np.int16)
+    elif scheme == "bitmap":
+        v = (rng.integers(0, 5, n) * 3).astype(np.uint8)
+    elif scheme == "dzbv":
+        v = rng.integers(0, 50000, n).astype(np.uint16)
+    elif scheme == "patched":
+        v = np.where(rng.random(n) < 0.003, 29000, rng.integers(0, 70, n)).astype(np.int16)
+    else:
+        v = rng.integers(-100, 100, n).astype(np.int8)
+    col = gt.encode(v, scheme)
     store = api.narrow_store_dtype(col)
     u = api.get_decoder(col, store)(api.device_streams(col))
-    assert str(u.dtype) == "uint8", u.dtype  # engaged despite gpb % 32 != 0
+    assert np.dtype(str(u.dtype)).itemsize == v.dtype.itemsize, (scheme, u.dtype)
     out = np.asarray(gt.decode(col))
     assert out.dtype == v.dtype
     np.testing.assert_array_equal(out, v)
