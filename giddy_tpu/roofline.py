@@ -233,6 +233,22 @@ _DESCEND_UNSCALED = frozenset(
 )
 
 
+def _is_int_retype(eqn) -> bool:
+    """True for convert_element_type between non-bool integer dtypes of
+    EQUAL width (u32<->i32, u16<->i16, ...): the values re-interpret
+    bitwise (modular semantics), so no instruction is issued."""
+    import numpy as _np
+
+    try:
+        a = _np.dtype(eqn.invars[0].aval.dtype)
+        b = _np.dtype(eqn.params["new_dtype"])
+    except Exception:
+        return False
+    return (
+        a.kind in "iu" and b.kind in "iu" and a.itemsize == b.itemsize
+    )
+
+
 def _count_jaxpr(jx, mult: float, c: dict) -> None:
     from jax._src import core as _jcore
 
@@ -321,6 +337,15 @@ def _count_jaxpr(jx, mult: float, c: dict) -> None:
                 k *= float(lhs[d])
             c["mxu"] += mult * elems * k
             c["prims"]["dot_general"] = c["prims"].get("dot_general", 0.0) + mult * elems * k
+        elif name == "convert_element_type" and _is_int_retype(eqn):
+            # same-width int<->int converts (u32<->i32 etc.) are vreg
+            # re-TYPES, not instructions: Mosaic lanes are typeless 32-bit
+            # containers and the wrap semantics are the identity bit
+            # pattern — charge as free movement like bitcast_convert_type
+            c["move"] += mult * elems
+            c["prims"]["convert(retype)"] = (
+                c["prims"].get("convert(retype)", 0.0) + mult * elems
+            )
         elif name in _VPU_PRIMS:
             c["vpu"] += mult * elems
             c["prims"][name] = c["prims"].get(name, 0.0) + mult * elems

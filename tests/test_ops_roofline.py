@@ -58,8 +58,10 @@ MEMORY_BOUND = [
 # rle/rpe/cascade moved to MEMORY_BOUND in round 5: the censused-cost W
 # selection (kernels/rle.py tile_prep) picks small tiles + short chains
 # for long-run columns (41 -> 14-18 issue ops at the census density).
-# Caps are on ISSUE slots (vpu + gather + roll) since round 5.
-OPS_CAPS = {"delta2": 33.0, "dzbv": 60.0, "xordelta": 40.0}
+# Caps are on ISSUE slots (vpu + gather + roll) since round 5; same-width
+# int<->int converts reclassified as free retypes late in round 5
+# (delta2 26.8 -> 26.0, dzbv 53.8 -> 50.8), caps re-tightened to match.
+OPS_CAPS = {"delta2": 31.0, "dzbv": 57.0, "xordelta": 39.0}
 
 
 def _audit(scheme: str):
